@@ -1,0 +1,112 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files
+xtract.zip job.py``).
+
+Examples
+--------
+Generate 100 synthetic conversations and extract::
+
+    spark-submit --py-files xtract.zip job.py \
+        --input gen:100 --output /tmp/spans --partitions 32
+
+Extract from an existing transcripts table (parquet dir)::
+
+    spark-submit --py-files xtract.zip job.py \
+        --input /data/transcripts --output /data/spans --mode fused
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="xtract: per-turn main-content extraction")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="transcripts parquet path, or gen:<n_convs> for synthetic input",
+    )
+    ap.add_argument("--output", required=True, help="output parquet path for spans")
+    ap.add_argument(
+        "--mode",
+        default="fused",
+        choices=["fused", "relational"],
+        help="execution strategy (fused = zero-shuffle Arrow kernel)",
+    )
+    ap.add_argument(
+        "--merge",
+        default="greedy",
+        choices=["greedy", "rank1"],
+        help="image-assignment strategy for --mode relational",
+    )
+    ap.add_argument("--partitions", type=int, default=None, help="shuffle partitions")
+    ap.add_argument(
+        "--exam-info", default=None, help="optional output path for per-turn exam metadata"
+    )
+    ap.add_argument(
+        "--stats", default=None, help="optional output path for per-conversation rollups"
+    )
+    ap.add_argument(
+        "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
+    )
+    ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
+    args = ap.parse_args(argv)
+
+    from xtract import gen, pipeline, session
+
+    spark = session.build(app="xtract-job", shuffle_partitions=args.partitions)
+    t0 = time.monotonic()
+
+    if args.input.startswith("gen:"):
+        df = gen.transcripts(spark, int(args.input[4:]), partitions=args.partitions)
+    else:
+        df = spark.read.parquet(args.input)
+
+    if args.checkpoint:
+        from xtract import ckpt
+
+        result = ckpt.run_with_checkpoint(
+            spark,
+            df,
+            args.output,
+            args.checkpoint,
+            run_id=args.run_id,
+            mode=args.mode,
+            merge=args.merge,
+        )
+    else:
+        spans = pipeline.extract(df, mode=args.mode, merge=args.merge)
+        spans.write.mode("overwrite").parquet(args.output)
+        result = {"partitions_done": None}
+
+    n_turns = df.count()
+    n_spans = spark.read.parquet(args.output).count()
+
+    if args.exam_info:
+        pipeline.exam_info(df).write.mode("overwrite").parquet(args.exam_info)
+    if args.stats:
+        pipeline.conversation_stats(
+            spark.read.parquet(args.output)
+        ).write.mode("overwrite").parquet(args.stats)
+
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "turns": n_turns,
+                "spans": n_spans,
+                "mode": args.mode,
+                "sec": round(wall, 2),
+                "turns_per_sec": round(n_turns / wall, 1),
+                **{k: v for k, v in result.items() if v is not None},
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

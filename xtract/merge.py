@@ -1,0 +1,316 @@
+"""Merge stage: text spans ↔ image blocks (SURVEY.md §2.5 J1-J7).
+
+Two interchangeable strategies, same output schema:
+
+- ``merge_greedy`` — exact reference parity. The reference walks text
+  blocks in list order and lets each claim its verified images
+  exclusively, first-text-wins (question_merger.py:56-104). That
+  sequential dependency is real, so it runs as a cogrouped Arrow UDF
+  per (conv_id, turn_idx): both sides shuffle once on the turn key,
+  groups are page-sized (tens of rows), and the walk inside is
+  numpy-vectorized over the image side.
+
+- ``merge_rank1`` — Spark-native approximation: spatial theta-join on
+  the turn equi-key, per-text top-8 by distance (W5), per-image rank-1
+  by text order (J4 as a window). Diverges from greedy only when an
+  earlier text would claim an image that a later text also wants
+  within its own top-8 — tests measure the divergence.
+
+VL verification (X2/X3) is replaced by the deterministic rule: spatial
+confidence ≥ 0.85 (config.py:36; SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .config import LIMITS
+
+MERGED_SCHEMA = (
+    "conv_id string, turn_idx int, question_number int, span_text string, "
+    "bbox array<int>, has_image boolean, image_ids array<int>, "
+    "image_count int, split_from_merged boolean, source_block_id int, "
+    "text_order int"
+)
+
+
+def image_blocks(blocks: DataFrame) -> DataFrame:
+    """Image-side input: one row per image block, bbox unpacked and the
+    array ordinal kept (candidate iteration order, the distance-sort
+    tie-break — question_merger.py:164,215)."""
+    img = blocks.filter(
+        (F.col("block.block_label") == "image")
+        & (F.size("block.block_bbox") == 4)
+    )
+    return img.select(
+        "conv_id",
+        "turn_idx",
+        F.col("block_pos").alias("img_pos"),
+        F.col("block.block_id").alias("img_id"),
+        F.col("block.block_bbox")[0].alias("ix1"),
+        F.col("block.block_bbox")[1].alias("iy1"),
+        F.col("block.block_bbox")[2].alias("ix2"),
+        F.col("block.block_bbox")[3].alias("iy2"),
+    )
+
+
+# ------------------------------------------------------------ greedy path
+def _greedy_turn(spans: pd.DataFrame, imgs: pd.DataFrame) -> pd.DataFrame:
+    """One page/turn: the exclusive-assignment walk, image side as
+    numpy columns."""
+    spans = spans.sort_values(["block_pos", "span_ord"], kind="stable")
+    out_rows = []
+
+    if len(imgs):
+        imgs = imgs.sort_values("img_pos", kind="stable")
+        il = imgs["ix1"].to_numpy(dtype=np.int64)
+        it = imgs["iy1"].to_numpy(dtype=np.int64)
+        ir = imgs["ix2"].to_numpy(dtype=np.int64)
+        ib = imgs["iy2"].to_numpy(dtype=np.int64)
+        iid = imgs["img_id"].to_numpy()
+        ipos = imgs["img_pos"].to_numpy()
+        icx = (il + ir) / 2
+        icy = (it + ib) / 2
+        used = np.zeros(len(imgs), dtype=bool)
+    else:
+        used = np.zeros(0, dtype=bool)
+
+    for order, row in enumerate(spans.itertuples(index=False)):
+        tb = list(row.bbox) if row.bbox is not None else []
+        ids: list[int] = []
+        boxes: list[list[int]] = []
+        if len(tb) == 4 and len(used):
+            tl, tt, tr, tbot = (int(v) for v in tb)
+            tcx = (tl + tr) / 2
+            tcy = (tt + tbot) / 2
+
+            free = ~used
+            above = it < tbot
+            hd = il - tr
+            right_ok = free & above & (hd > 0) & (hd < LIMITS.max_horizontal_distance)
+
+            vd = it - tbot
+            horiz = (
+                ((tl <= icx) & (icx <= tr))
+                | ((il <= tcx) & (tcx <= ir))
+                | ((il <= tr) & (ir >= tl))
+                | (np.abs(icx - tcx) < LIMITS.max_horizontal_distance)
+            )
+            below_ok = free & ~above & (vd <= LIMITS.max_vertical_distance) & horiz
+
+            cand = right_ok | below_ok
+            if cand.any():
+                dist = np.where(right_ok, hd, vd)
+                # spatial confidence (question_merger.py:287-327)
+                ds_right = np.maximum(0.0, 1 - hd / LIMITS.max_horizontal_distance)
+                al_right = np.maximum(0.0, 1 - np.abs(tcy - icy) / (tbot - tt))
+                ds_below = np.maximum(0.0, 1 - vd / LIMITS.max_vertical_distance)
+                al_below = np.maximum(0.0, 1 - np.abs(tcx - icx) / (tr - tl))
+                conf = np.where(
+                    right_ok,
+                    LIMITS.conf_weight_distance * ds_right
+                    + LIMITS.conf_weight_alignment * al_right,
+                    LIMITS.conf_weight_distance * ds_below
+                    + LIMITS.conf_weight_alignment * al_below,
+                )
+                idx = np.flatnonzero(cand)
+                # stable distance sort, ties in image-list order
+                idx = idx[np.lexsort((ipos[idx], dist[idx]))]
+                idx = idx[: LIMITS.max_images_per_question]
+                keep = idx[conf[idx] >= LIMITS.spatial_confidence_threshold]
+                for k in keep:
+                    used[k] = True
+                    ids.append(int(iid[k]))
+                    boxes.append([int(il[k]), int(it[k]), int(ir[k]), int(ib[k])])
+
+        if boxes:
+            allb = [[int(v) for v in tb]] + boxes
+            bbox = [
+                min(b[0] for b in allb),
+                min(b[1] for b in allb),
+                max(b[2] for b in allb),
+                max(b[3] for b in allb),
+            ]
+        else:
+            bbox = [int(v) for v in tb]
+
+        out_rows.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": row.turn_idx,
+                "question_number": row.question_number,
+                "span_text": row.span_text,
+                "bbox": bbox,
+                "has_image": bool(ids),
+                "image_ids": ids,
+                "image_count": len(ids),
+                "split_from_merged": bool(row.split_from_merged),
+                "source_block_id": row.source_block_id,
+                "text_order": order,
+            }
+        )
+
+    cols = [
+        "conv_id",
+        "turn_idx",
+        "question_number",
+        "span_text",
+        "bbox",
+        "has_image",
+        "image_ids",
+        "image_count",
+        "split_from_merged",
+        "source_block_id",
+        "text_order",
+    ]
+    return pd.DataFrame(out_rows, columns=cols)
+
+
+def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _greedy_turn(left, right).iloc[0:0]
+        return _greedy_turn(left, right)
+
+    return (
+        spans.groupBy("conv_id", "turn_idx")
+        .cogroup(images.groupBy("conv_id", "turn_idx"))
+        .applyInPandas(fn, MERGED_SCHEMA)
+    )
+
+
+# ------------------------------------------------------------- rank1 path
+def merge_rank1(spans: DataFrame, images: DataFrame) -> DataFrame:
+    """Join-based fast path. One equi-key (turn) + theta predicate join,
+    two windows, one aggregation — all AQE/skew-join eligible."""
+    t = spans.select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        "span_ord",
+        "question_number",
+        "span_text",
+        "bbox",
+        "split_from_merged",
+        "source_block_id",
+        F.col("bbox")[0].alias("tx1"),
+        F.col("bbox")[1].alias("ty1"),
+        F.col("bbox")[2].alias("tx2"),
+        F.col("bbox")[3].alias("ty2"),
+    )
+    i = images
+
+    tcx = (F.col("tx1") + F.col("tx2")) / 2
+    tcy = (F.col("ty1") + F.col("ty2")) / 2
+    icx = (F.col("ix1") + F.col("ix2")) / 2
+    icy = (F.col("iy1") + F.col("iy2")) / 2
+
+    above = F.col("iy1") < F.col("ty2")
+    hd = F.col("ix1") - F.col("tx2")
+    right_ok = above & (hd > 0) & (hd < LIMITS.max_horizontal_distance)
+
+    vd = F.col("iy1") - F.col("ty2")
+    horiz = (
+        ((F.col("tx1") <= icx) & (icx <= F.col("tx2")))
+        | ((F.col("ix1") <= tcx) & (tcx <= F.col("ix2")))
+        | ((F.col("ix1") <= F.col("tx2")) & (F.col("ix2") >= F.col("tx1")))
+        | (F.abs(icx - tcx) < LIMITS.max_horizontal_distance)
+    )
+    below_ok = (~above) & (vd <= LIMITS.max_vertical_distance) & horiz
+
+    ds_right = F.greatest(F.lit(0.0), 1 - hd / LIMITS.max_horizontal_distance)
+    al_right = F.greatest(
+        F.lit(0.0), 1 - F.abs(tcy - icy) / (F.col("ty2") - F.col("ty1"))
+    )
+    ds_below = F.greatest(F.lit(0.0), 1 - vd / LIMITS.max_vertical_distance)
+    al_below = F.greatest(
+        F.lit(0.0), 1 - F.abs(tcx - icx) / (F.col("tx2") - F.col("tx1"))
+    )
+    conf = F.when(
+        right_ok,
+        LIMITS.conf_weight_distance * ds_right
+        + LIMITS.conf_weight_alignment * al_right,
+    ).otherwise(
+        LIMITS.conf_weight_distance * ds_below
+        + LIMITS.conf_weight_alignment * al_below,
+    )
+
+    cand = (
+        t.join(i, ["conv_id", "turn_idx"])
+        .where(right_ok | below_ok)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "block_pos",
+            "span_ord",
+            "img_pos",
+            "img_id",
+            "ix1",
+            "iy1",
+            "ix2",
+            "iy2",
+            F.when(right_ok, hd).otherwise(vd).alias("distance"),
+            conf.alias("conf"),
+        )
+    )
+
+    per_text = Window.partitionBy(
+        "conv_id", "turn_idx", "block_pos", "span_ord"
+    ).orderBy("distance", "img_pos")
+    topk = cand.withColumn("rk", F.row_number().over(per_text)).where(
+        (F.col("rk") <= LIMITS.max_images_per_question)
+        & (F.col("conf") >= LIMITS.spatial_confidence_threshold)
+    )
+
+    per_img = Window.partitionBy("conv_id", "turn_idx", "img_id").orderBy(
+        "block_pos", "span_ord", "distance"
+    )
+    won = topk.withColumn("irk", F.row_number().over(per_img)).where(
+        F.col("irk") == 1
+    )
+
+    assigned = won.groupBy("conv_id", "turn_idx", "block_pos", "span_ord").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("distance", "img_pos", "img_id", "ix1", "iy1", "ix2", "iy2")
+                )
+            ),
+            lambda s: s["img_id"],
+        ).alias("image_ids"),
+        F.min("ix1").alias("mix1"),
+        F.min("iy1").alias("miy1"),
+        F.max("ix2").alias("mix2"),
+        F.max("iy2").alias("miy2"),
+    )
+
+    joined = t.join(assigned, ["conv_id", "turn_idx", "block_pos", "span_ord"], "left")
+    has = F.col("image_ids").isNotNull() & (F.size("image_ids") > 0)
+    merged_bbox = F.when(
+        has,
+        F.array(
+            F.least("tx1", "mix1").cast("int"),
+            F.least("ty1", "miy1").cast("int"),
+            F.greatest("tx2", "mix2").cast("int"),
+            F.greatest("ty2", "miy2").cast("int"),
+        ),
+    ).otherwise(F.col("bbox"))
+
+    turn_order = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        "block_pos", "span_ord"
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "question_number",
+        "span_text",
+        merged_bbox.alias("bbox"),
+        has.alias("has_image"),
+        F.coalesce("image_ids", F.array().cast("array<int>")).alias("image_ids"),
+        F.coalesce(F.size("image_ids"), F.lit(0)).alias("image_count"),
+        "split_from_merged",
+        "source_block_id",
+        (F.row_number().over(turn_order) - 1).alias("text_order"),
+    )

@@ -1,0 +1,107 @@
+"""End-to-end extraction pipeline with two execution strategies.
+
+- ``mode='fused'`` (default, the 100-TB path): the whole per-turn
+  extraction — payload parse, detect, split, merge, structure — runs
+  as ONE Arrow-batched ``mapInPandas`` kernel. Per-turn extraction is
+  embarrassingly parallel, so this plan has ZERO shuffles: scan →
+  narrow map → sink. This is exactly the architecture the north star
+  prescribes ("each turn's text payload is parsed via vectorized
+  pandas/Arrow UDFs ... to emit extracted main-content spans per
+  turn"); stable turn ordering is a property of the (conv_id,
+  turn_idx) keys carried on every row, not of physical row order.
+
+- ``mode='relational'`` (the operator-demonstration path): each
+  reference operator is expressed as its Spark-native mapping
+  (SURVEY.md §2 tables): from_json scan → posexplode → detection UDF →
+  window lead-boundaries → theta join / cogrouped greedy → native
+  structuring. Costs shuffles (split window, merge by turn key,
+  final seq window) but exposes every operator to Catalyst
+  individually. Tests assert both modes agree row-for-row.
+
+Skew note: every keyed operation here partitions by (conv_id,
+turn_idx) or finer — never by conv_id alone — so mega-conversations
+(FIXTURES.md §1) cannot concentrate on one task. Per-conversation
+rollups (conversation_stats) do aggregate on conv_id, via partial
+aggregation (map-side combine), which is skew-safe for counters.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import merge as merge_mod
+from . import oracle, schema, sources, split, structure
+
+
+def extract(
+    transcripts: DataFrame,
+    mode: str = "fused",
+    merge: str = "greedy",
+) -> DataFrame:
+    """transcripts → one row per extracted question span (schema.SPANS)."""
+    if mode == "fused":
+        return _extract_fused(transcripts)
+    if mode != "relational":
+        raise ValueError(f"unknown mode: {mode}")
+
+    parsed = sources.parse_payloads(transcripts)
+    blocks = sources.exploded_blocks(parsed)
+    spans = split.split_spans(blocks, mode="v1")
+    images = merge_mod.image_blocks(blocks)
+    if merge == "greedy":
+        merged = merge_mod.merge_greedy(spans, images)
+    elif merge == "rank1":
+        merged = merge_mod.merge_rank1(spans, images)
+    else:
+        raise ValueError(f"unknown merge strategy: {merge}")
+    return structure.structure(merged)
+
+
+def _extract_fused(transcripts: DataFrame) -> DataFrame:
+    """Single-kernel strategy. The kernel is the same per-turn logic the
+    relational plan spells out operator-by-operator; tests cross-check
+    the two strategies and the pure-Python oracle against each other."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for seq, row in enumerate(oracle.extract_turn(text)):
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "seq": seq,
+                            **row,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in schema.SPANS.fields]
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=schema.SPANS
+    )
+
+
+def exam_info(transcripts: DataFrame) -> DataFrame:
+    """Per-turn exam metadata (schema.EXAM_INFO)."""
+    parsed = sources.parse_payloads(transcripts)
+    return structure.exam_info(sources.exploded_blocks(parsed))
+
+
+def conversation_stats(final_spans: DataFrame) -> DataFrame:
+    """Per-conversation rollup — the one agg keyed by conv_id alone.
+    Partial aggregation makes it skew-safe; a mega-conversation
+    contributes pre-combined partial rows, not raw spans."""
+    return final_spans.groupBy("conv_id").agg(
+        F.count("*").alias("spans"),
+        F.count_if(F.col("question_number").isNotNull()).alias("numbered"),
+        F.count_if("has_image").alias("with_images"),
+        F.sum("image_count").alias("images"),
+        F.count_if("split_from_merged").alias("from_split"),
+        F.countDistinct("turn_idx").alias("turns_with_spans"),
+    )

@@ -1,0 +1,34 @@
+"""SparkSession factory with the engine's scale posture baked in.
+
+Single place for the configs the north rule calls out explicitly:
+AQE + skew-join handling, Arrow-backed pandas UDFs, explicit shuffle
+partitioning (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build(
+    app: str = "xtract",
+    master: str | None = None,
+    cores: int = 32,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        b = b.master(master)
+    elif not SparkSession.getActiveSession():
+        b = b.master(f"local[{cores}]")
+    return b.getOrCreate()

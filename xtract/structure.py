@@ -1,0 +1,199 @@
+"""Structuring stage (SURVEY.md §2.3 R6-R8, §2.6 A2-A4, §2.7 W4).
+
+Everything here is native Spark SQL — when/rlike chains,
+regexp_extract, windows — so it stays inside whole-stage codegen.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .config import (
+    LIMITS,
+    QTYPE_ANSWER,
+    QTYPE_BLANK,
+    QTYPE_CALC,
+    QTYPE_CHOICE,
+    QTYPE_JUDGE,
+    QTYPE_OTHER,
+    SCORE_PATTERNS,
+)
+
+
+def qtype_col(content) -> F.Column:
+    """Question-type classifier, first-match-wins chain
+    (extractor.py:253-280). Order is load-bearing."""
+    c = F.coalesce(content, F.lit(""))
+    return (
+        F.when(c.rlike(r"[A-D][\.、]"), QTYPE_CHOICE)
+        .when(c.rlike(r"[（(]\s*[）)]|_{2,}"), QTYPE_BLANK)
+        .when(
+            c.rlike(r"判断|对错|正确|错误|√|×|[（(]\s*[）)]")
+            & (F.length(c) < LIMITS.judge_max_len),
+            QTYPE_JUDGE,
+        )
+        .when(c.rlike(r"计算|求值|求出|算出"), QTYPE_CALC)
+        .when(
+            c.rlike(r"解答|证明|说明|分析|简述")
+            | (F.length(c) > LIMITS.answer_min_len),
+            QTYPE_ANSWER,
+        )
+        .otherwise(QTYPE_OTHER)
+    )
+
+
+def score_col(content) -> F.Column:
+    """Score extraction: first pattern (priority order) with any match
+    wins, default 0 (extractor.py:282-303)."""
+    c = F.coalesce(content, F.lit(""))
+    first_hits = [
+        F.nullif(F.regexp_extract(c, p, 1), F.lit("")) for p in SCORE_PATTERNS
+    ]
+    return F.coalesce(*[h.cast("int") for h in first_hits], F.lit(0))
+
+
+def structure(merged: DataFrame) -> DataFrame:
+    """merged span rows (merge.MERGED_SCHEMA) → final output, with the
+    sentinel-999 ordering (extractor.py:211-214: ``or 999``, so 0 and
+    NULL both sort as 999) and a per-turn ``seq`` for exact list
+    comparisons."""
+    sentinel = F.when(
+        F.col("question_number").isNull() | (F.col("question_number") == 0),
+        LIMITS.missing_number_sentinel,
+    ).otherwise(F.col("question_number"))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        sentinel, "text_order"
+    )
+    return merged.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - 1).alias("seq"),
+        "question_number",
+        qtype_col(F.col("span_text")).alias("qtype"),
+        score_col(F.col("span_text")).alias("score"),
+        "span_text",
+        "bbox",
+        "has_image",
+        "image_ids",
+        "image_count",
+        "split_from_merged",
+        "source_block_id",
+    )
+
+
+def exam_info(blocks: DataFrame) -> DataFrame:
+    """Per-turn exam metadata (extractor.py:138-193).
+
+    Title: the LAST doc_title block wins (the reference loop
+    overwrites). Time/total-score: text blocks scanned in order, each
+    match overwrites, loop breaks at the first block where both are
+    set — restated as: cutoff k = max(first time-match idx, first
+    score-match idx); value = last match at idx ≤ k.
+    """
+    b = blocks.select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        F.col("block.block_label").alias("label"),
+        F.coalesce(F.col("block.block_content"), F.lit("")).alias("content"),
+    )
+
+    titles = (
+        b.filter(F.col("label") == "doc_title")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max_by("content", "block_pos").alias("title"))
+    )
+    titles = titles.select(
+        "conv_id",
+        "turn_idx",
+        "title",
+        F.when(F.col("title").contains("数学"), "数学")
+        .when(F.col("title").contains("语文"), "语文")
+        .when(F.col("title").contains("英语"), "英语")
+        .otherwise("")
+        .alias("subject"),
+        F.regexp_extract("title", r"[一二三四五六七八九]年级", 0).alias("grade"),
+    )
+
+    texts = b.filter(F.col("label") == "text").select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        F.nullif(
+            F.regexp_extract("content", r"时间[：:]\s*(\d+)\s*分钟", 1), F.lit("")
+        ).alias("tm"),
+        F.nullif(
+            F.regexp_extract("content", r"满分[：:]\s*([\d+]+)\s*分", 1), F.lit("")
+        ).alias("sc"),
+    )
+    agg = texts.groupBy("conv_id", "turn_idx").agg(
+        F.min(F.when(F.col("tm").isNotNull(), F.col("block_pos"))).alias("ft"),
+        F.min(F.when(F.col("sc").isNotNull(), F.col("block_pos"))).alias("fs"),
+        F.collect_list(
+            F.when(F.col("tm").isNotNull(), F.struct("block_pos", "tm"))
+        ).alias("tms"),
+        F.collect_list(
+            F.when(F.col("sc").isNotNull(), F.struct("block_pos", "sc"))
+        ).alias("scs"),
+    )
+    # the loop breaks only once BOTH are set (extractor.py:190-191);
+    # greatest() skips nulls in Spark, so gate on both-non-null
+    cutoff = F.when(
+        F.col("ft").isNotNull() & F.col("fs").isNotNull(),
+        F.greatest("ft", "fs"),
+    ).otherwise(F.lit(2**31 - 1))
+    last_at_or_before = lambda arr, field: F.try_element_at(  # noqa: E731
+        F.transform(
+            F.array_sort(F.filter(arr, lambda s: s["block_pos"] <= cutoff)),
+            lambda s: s[field],
+        ),
+        F.lit(-1),
+    )
+    tm_sc = agg.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(
+            F.concat(last_at_or_before(F.col("tms"), "tm"), F.lit("分钟")),
+            F.lit(""),
+        ).alias("time_limit"),
+        F.coalesce(last_at_or_before(F.col("scs"), "sc"), F.lit("")).alias(
+            "total_score"
+        ),
+    )
+
+    keys = b.select("conv_id", "turn_idx").distinct()
+    return (
+        keys.join(titles, ["conv_id", "turn_idx"], "left")
+        .join(tm_sc, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("title", F.lit("")).alias("title"),
+            F.coalesce("subject", F.lit("")).alias("subject"),
+            F.coalesce("grade", F.lit("")).alias("grade"),
+            F.coalesce("time_limit", F.lit("")).alias("time_limit"),
+            F.coalesce("total_score", F.lit("")).alias("total_score"),
+        )
+    )
+
+
+def turn_counters(final_spans: DataFrame) -> DataFrame:
+    """A2 metadata counters per turn (extractor.py:117-121): partial
+    (map-side) aggregation applies — one shuffle of pre-aggregated
+    rows."""
+    return final_spans.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").cast("long").alias("total_questions"),
+        F.count_if("has_image").cast("long").alias("with_images"),
+        F.sum("image_count").cast("long").alias("total_images"),
+        F.count_if("split_from_merged").cast("long").alias("split_count"),
+    )
+
+
+def qtype_histogram(final_spans: DataFrame) -> DataFrame:
+    """A3 (main_extraction.py:197-204)."""
+    return final_spans.groupBy("qtype").count().orderBy("qtype")
+
+
+def multi_image_questions(final_spans: DataFrame) -> DataFrame:
+    """A4 (main_extraction.py:207-215)."""
+    return final_spans.filter(F.col("image_count") > 1)
