@@ -163,27 +163,39 @@ def _payload_b(r: random.Random) -> str:
                     }
                 )
         y += h
-        # images below: vertical gap in [0,400] (some past the 300px
-        # threshold, config.py:34); option rows share a y within ±<50
+        # images below: ~half are "figure" placements (small gap,
+        # centered under the text → clears the 0.85 confidence gate,
+        # config.py:36), the rest scatter with gaps in [0,400] (some
+        # past the 300px threshold, config.py:34); option rows share a
+        # y within ±<50 (config.py:59)
         if r.random() < 0.55:
             n_img = r.choice([1, 1, 2, 3, 4])
-            gap = r.randint(0, 400)
+            aligned = r.random() < 0.5
+            gap = r.randint(0, 60) if aligned else r.randint(0, 400)
             iy = y + gap
-            ix = 160
             ih = r.randint(180, 330)
-            for _ in range(n_img):
-                jitter = r.randint(-24, 24)
-                iw = r.randint(260, 420)
-                add("image", "", [ix, iy + jitter, ix + iw, iy + jitter + ih])
-                ix += iw + r.randint(30, 90)
+            tcx = (tb[0] + tb[2]) // 2
+            if aligned and n_img == 1:
+                iw = r.randint(300, 520)
+                jx = r.randint(-60, 60)
+                add("image", "", [tcx - iw // 2 + jx, iy, tcx - iw // 2 + jx + iw, iy + ih])
+            else:
+                ix = 160
+                for _ in range(n_img):
+                    jitter = r.randint(-24, 24)
+                    iw = r.randint(260, 420)
+                    add("image", "", [ix, iy + jitter, ix + iw, iy + jitter + ih])
+                    ix += iw + r.randint(30, 90)
             y = iy + ih + 60
-        # right-side image: horizontal gap in [0,250] vs 200 threshold
+        # right-side image: horizontal gap in [0,250] vs the 200px
+        # threshold; ~half vertically centered (high confidence)
         if r.random() < 0.2:
-            hgap = r.randint(0, 250)
+            hgap = r.randint(0, 30) if r.random() < 0.5 else r.randint(0, 250)
+            icy = (tb[1] + tb[3]) // 2 + r.randint(-20, 20)
             add(
                 "image",
                 "",
-                [width - 120 + hgap, y - h, width - 120 + hgap + 240, y - h + 200],
+                [tb[2] + hgap, icy - 100, tb[2] + hgap + 240, icy + 100],
             )
         y += 40
     if r.random() < 0.2:
