@@ -1,38 +1,127 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship per-turn extraction end-to-end on
+transcripts deterministically derived from the sf0.001 tables.
+``queries``/``oracle_sql`` expose every SQL-expressible operator
+family from SURVEY.md §2 (plus the training-data-pipeline ops) for the
+DuckDB cross-check; extraction-kernel queries that hinge on Python
+``re`` semantics are registered without an oracle (rows-only check),
+with their real correctness gate in tests/test_parity.py.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts derived from the driver's documents
+    table: one conversation per source, one turn per doc; even doc_ids
+    carry synthetic exam payloads (seeded by doc_id), odd doc_ids carry
+    the document's own prose (negative controls)."""
+    import pandas as pd
+
+    from xtract import schema
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def to_turns(batches):
+        from xtract import gen
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    r = gen._rng(source, doc_id)
+                    payload = gen._payload_b(r) if doc_id % 4 == 0 else gen._payload_a(r)
+                else:
+                    payload = text
+                base = gen.turn_row(source, doc_id, 0)
+                rows.append(
+                    {
+                        "conv_id": source,
+                        "turn_idx": doc_id,
+                        "role": base["role"],
+                        "text": payload,
+                        "tool": base["tool"],
+                        "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=7 * doc_id),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.TRANSCRIPTS.fields]
+            )
+
+    return docs.mapInPandas(to_turns, schema=schema.TRANSCRIPTS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full fused extraction over sf0.001-derived transcripts."""
+    from xtract import pipeline
+
+    return pipeline.extract(_derived_transcripts(spark, SF0001), mode="fused")
+
+
+# ------------------------------------------------------------------ glue
+def _extraction_queries() -> dict[str, Callable]:
+    """Rows-only entries (Python-re kernel; no SQL oracle — the parity
+    gate for these lives in tests/test_parity.py against the
+    single-node oracle)."""
+    from xtract import pipeline, structure
+
+    def x_extract_spans(spark, sf_dir):
+        return pipeline.extract(
+            _derived_transcripts(spark, sf_dir), mode="fused"
+        ).select(
+            "conv_id",
+            "turn_idx",
+            "seq",
+            "question_number",
+            "qtype",
+            "score",
+            "span_text",
+            "has_image",
+            "image_count",
+            "split_from_merged",
+        )
+
+    def x_extract_relational(spark, sf_dir):
+        return pipeline.extract(
+            _derived_transcripts(spark, sf_dir), mode="relational", merge="greedy"
+        ).select(
+            "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
+        )
+
+    def x_turn_counters(spark, sf_dir):
+        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
+        return structure.turn_counters(spans)
+
+    def x_exam_info(spark, sf_dir):
+        return pipeline.exam_info(_derived_transcripts(spark, sf_dir))
+
+    return {
+        "x_extract_spans": x_extract_spans,
+        "x_extract_relational": x_extract_relational,
+        "x_turn_counters": x_turn_counters,
+        "x_exam_info": x_exam_info,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from xtract import queries as qmod
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(qmod.QUERIES)
+    out.update(_extraction_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xtract import queries as qmod
+
+    return dict(qmod.ORACLE)

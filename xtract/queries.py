@@ -1,0 +1,914 @@
+"""Driver-contract query registry (SURVEY.md §5.4, M6).
+
+Every SQL-expressible operator class from SURVEY.md §2 gets a
+(Spark DataFrame query, DuckDB oracle SQL) pair over the driver's
+parquet tables; the driver cross-checks them at sf=0.01. Names carry
+the operator id they exercise.
+
+Determinism rules used throughout (so value-hash comparison is exact
+across engines):
+- money/measures → integer cents via floor(x*100) (identical IEEE
+  doubles in, identical ints out; no float-sum ordering issues)
+- timestamps → epoch seconds via Spark ``cast(ts as long)`` / DuckDB
+  ``epoch(ts)``; each query pins the session timezone to UTC so both
+  engines read the same naive-parquet instant
+- floats that must survive (cosine scores) → round(…, 4)
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+QUERIES: dict[str, Callable] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+def _epoch(col):
+    """TIMESTAMP_NTZ → epoch seconds: NTZ casts to LTZ under the
+    pinned UTC session TZ, matching DuckDB epoch(naive)."""
+    return col.cast("timestamp").cast("long")
+
+
+# =====================================================================
+# A1/A2-family — aggregation with map-side combine (TPC-H Q1 shape)
+# =====================================================================
+@q(
+    "a1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(floor(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
+           cast(sum(cast(floor(l_extendedprice*100) as bigint)) as bigint) as sum_price_c,
+           cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100) as bigint)) as bigint) as sum_disc_c,
+           count(*) as cnt
+    from lineitem
+    where l_shipdate <= timestamp '1997-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_c"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@q(
+    "a3_type_histogram",
+    """
+    select event_type, count(*) as cnt,
+           cast(sum(cast(floor(value*100) as bigint)) as bigint) as sum_value_c
+    from events group by event_type
+    """,
+)
+def a3_type_histogram(spark, sf_dir):
+    """A3 question-type histogram analogue (main_extraction.py:197-204)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+    )
+
+
+@q(
+    "a6_consecutive_check",
+    """
+    select count(*) as orders_total,
+           cast(count_if(gapless) as bigint) as orders_gapless
+    from (
+      select l_orderkey,
+             (count(*) = max(l_linenumber) - min(l_linenumber) + 1
+              and min(l_linenumber) = 1) as gapless
+      from lineitem group by l_orderkey
+    )
+    """,
+)
+def a6_consecutive_check(spark, sf_dir):
+    """A6 consecutiveness check (…vl_ocr.py:885-890): are line numbers
+    1..n without gaps, per order."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        (
+            (F.count("*") == F.max("l_linenumber") - F.min("l_linenumber") + 1)
+            & (F.min("l_linenumber") == 1)
+        ).alias("gapless")
+    )
+    return per.agg(
+        F.count("*").alias("orders_total"),
+        F.count_if("gapless").alias("orders_gapless"),
+    )
+
+
+# =====================================================================
+# W-family — windows: lead boundaries, top-k, sessionization
+# =====================================================================
+@q(
+    "w3_lead_gaps",
+    """
+    select user_id,
+           count(*) as n_gaps,
+           cast(min(gap_s) as bigint) as min_gap_s,
+           cast(max(gap_s) as bigint) as max_gap_s,
+           cast(sum(gap_s) as bigint) as sum_gap_s
+    from (
+      select user_id,
+             lead(floor(epoch(ts))) over (partition by user_id order by ts, event_id) - floor(epoch(ts)) as gap_s
+      from events
+    ) where gap_s is not null
+    group by user_id
+    """,
+)
+def w3_lead_gaps(spark, sf_dir):
+    """W3 next-boundary lookahead (question_splitter.py:366-384) as the
+    canonical lead() window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.lead(_epoch(F.col("ts"))).over(w) - _epoch(F.col("ts"))).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").alias("sum_gap_s"),
+    )
+
+
+@q(
+    "w5_topk_per_group",
+    """
+    select o_custkey, rk, o_orderkey from (
+      select o_custkey, o_orderkey,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey) as rk
+      from orders
+    ) where rk <= 3
+    """,
+)
+def w5_topk_per_group(spark, sf_dir):
+    """W5 top-k cap per group (question_merger.py:220)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey")
+    )
+
+
+@q(
+    "w6_sessionize",
+    """
+    select user_id,
+           cast(count(distinct session_id) as bigint) as sessions,
+           count(*) as events
+    from (
+      select user_id,
+             sum(case when prev_ts is null or floor(epoch(ts)) - prev_ts >= 1800
+                      then 1 else 0 end)
+               over (partition by user_id order by ts, event_id
+                     rows between unbounded preceding and current row) as session_id
+      from (
+        select user_id, ts, event_id,
+               lag(floor(epoch(ts))) over (partition by user_id order by ts, event_id) as prev_ts
+        from events
+      )
+    ) group by user_id
+    """,
+)
+def w6_sessionize(spark, sf_dir):
+    """W6 same-row grouping as gaps-and-islands sessionization
+    (question_merger.py:251-285 pattern)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (
+                    _epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)
+                    >= 1800
+                ).cast("int"),
+                F.lit(1),
+            )
+        ).alias("new_session"),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("sessions"),
+        F.count("*").alias("events"),
+    )
+
+
+@q(
+    "w7_first_complete",
+    """
+    select user_id, min(event_id) as first_purchase_event
+    from events where event_type = 'purchase'
+    group by user_id
+    """,
+)
+def w7_first_complete(spark, sf_dir):
+    """W7 first-match early break (extractor.py:176-191)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_purchase_event"))
+    )
+
+
+# =====================================================================
+# J-family — joins: band/theta, rank-1 assignment, anti-join
+# =====================================================================
+@q(
+    "j1_time_band_join",
+    """
+    select a.user_id as user_id, count(*) as pairs
+    from events a join events b
+      on a.user_id = b.user_id
+     and b.ts > a.ts and floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 120
+     and a.event_type <> b.event_type
+    group by a.user_id
+    """,
+)
+def j1_time_band_join(spark, sf_dir):
+    """J1 spatial/band theta join with an equi pre-key
+    (question_merger.py:135-220 shape): equi on the partition key,
+    banded range predicate on top."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    pairs = a.join(b, "user_id").where(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (_epoch(F.col("b_ts")) - _epoch(F.col("a_ts")) <= 120)
+        & (F.col("a_type") != F.col("b_type"))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("pairs"))
+
+
+@q(
+    "j4_rank1_assignment",
+    """
+    select user_id, event_type, event_id from (
+      select user_id, event_type, event_id,
+             row_number() over (partition by user_id, event_type
+                                order by ts, event_id) as rk
+      from events
+    ) where rk = 1
+    """,
+)
+def j4_rank1_assignment(spark, sf_dir):
+    """J4 exclusive assignment as window rank-1 (SURVEY.md §2.5)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@q(
+    "so1_anti_join",
+    """
+    select c.c_mktsegment as c_mktsegment, count(*) as customers_without_orders
+    from customer c anti join (select * from orders where o_orderstatus = 'F') o
+      on c.c_custkey = o.o_custkey
+    group by c.c_mktsegment
+    """,
+)
+def so1_anti_join(spark, sf_dir):
+    """SO1 id set difference as left_anti (…vl_ocr.py:833-843)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customers_without_orders"))
+    )
+
+
+@q(
+    "j5_broadcast_lookup",
+    """
+    select n.n_name as n_name, r.r_name as r_name,
+           count(*) as customers,
+           cast(sum(cast(floor(c.c_acctbal*100) as bigint)) as bigint) as acctbal_c
+    from customer c
+    join nation n on c.c_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by n.n_name, r.r_name
+    """,
+)
+def j5_broadcast_lookup(spark, sf_dir):
+    """J5 id-equality lookup with explicitly broadcast small dims."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_c"),
+        )
+    )
+
+
+# =====================================================================
+# G-family — geometry as column arithmetic
+# =====================================================================
+_BOX_SQL = """
+      select p_partkey,
+             p_partkey % 500 as ax1, (p_partkey * 7) % 500 as ay1,
+             p_partkey % 500 + 50 + p_size as ax2,
+             (p_partkey * 7) % 500 + 80 + p_size as ay2,
+             p_partkey % 500 + p_partkey % 37 as bx1,
+             (p_partkey * 7) % 500 + p_partkey % 53 as by1,
+             p_partkey % 500 + p_partkey % 37 + 60 + p_size as bx2,
+             (p_partkey * 7) % 500 + p_partkey % 53 + 70 + p_size as by2
+      from part
+"""
+
+
+def _boxes(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        (k % 500).alias("ax1"),
+        ((k * 7) % 500).alias("ay1"),
+        (k % 500 + 50 + s).alias("ax2"),
+        ((k * 7) % 500 + 80 + s).alias("ay2"),
+        (k % 500 + k % 37).alias("bx1"),
+        ((k * 7) % 500 + k % 53).alias("by1"),
+        (k % 500 + k % 37 + 60 + s).alias("bx2"),
+        ((k * 7) % 500 + k % 53 + 70 + s).alias("by2"),
+    )
+
+
+@q(
+    "g6_iou",
+    f"""
+    select p_partkey, cast(floor(1000000.0 * inter / uni) as bigint) as iou_ppm from (
+      select p_partkey,
+             greatest(0, least(ax2, bx2) - greatest(ax1, bx1))
+             * greatest(0, least(ay2, by2) - greatest(ay1, by1)) as inter,
+             (ax2-ax1)*(ay2-ay1) + (bx2-bx1)*(by2-by1)
+             - greatest(0, least(ax2, bx2) - greatest(ax1, bx1))
+               * greatest(0, least(ay2, by2) - greatest(ay1, by1)) as uni
+      from ({_BOX_SQL})
+    )
+    """,
+)
+def g6_iou(spark, sf_dir):
+    """G6 IoU (evaluator.py:135-161) over deterministic synthetic boxes
+    — integer arithmetic end-to-end, one floor at the boundary."""
+    b = _boxes(spark, sf_dir)
+    iw = F.greatest(F.lit(0), F.least("ax2", "bx2") - F.greatest("ax1", "bx1"))
+    ih = F.greatest(F.lit(0), F.least("ay2", "by2") - F.greatest("ay1", "by1"))
+    inter = iw * ih
+    area_a = (F.col("ax2") - F.col("ax1")) * (F.col("ay2") - F.col("ay1"))
+    area_b = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
+    uni = area_a + area_b - inter
+    return b.select(
+        "p_partkey",
+        F.floor(F.lit(1000000.0) * inter / uni).cast("long").alias("iou_ppm"),
+    )
+
+
+@q(
+    "g5_merged_bbox",
+    f"""
+    select p_partkey % 20 as grp,
+           cast(min(ax1) as bigint) as x1, cast(min(ay1) as bigint) as y1,
+           cast(max(ax2) as bigint) as x2, cast(max(ay2) as bigint) as y2,
+           count(*) as members
+    from ({_BOX_SQL})
+    group by p_partkey % 20
+    """,
+)
+def g5_merged_bbox(spark, sf_dir):
+    """G5 merged min-enclosing bbox (question_merger.py:542-555)."""
+    b = _boxes(spark, sf_dir)
+    return b.groupBy((F.col("p_partkey") % 20).alias("grp")).agg(
+        F.min("ax1").cast("long").alias("x1"),
+        F.min("ay1").cast("long").alias("y1"),
+        F.max("ax2").cast("long").alias("x2"),
+        F.max("ay2").cast("long").alias("y2"),
+        F.count("*").alias("members"),
+    )
+
+
+# =====================================================================
+# R-family — regex/string classification & extraction
+# =====================================================================
+@q(
+    "r6_qtype_classify",
+    """
+    select lang,
+           case when regexp_matches(text, '[A-D][\\.、]') then '选择题'
+                when regexp_matches(text, '[（(]\\s*[）)]|_{2,}') then '填空题'
+                when regexp_matches(text, '判断|对错|正确|错误|√|×|[（(]\\s*[）)]')
+                     and length(text) < 200 then '判断题'
+                when regexp_matches(text, '计算|求值|求出|算出') then '计算题'
+                when regexp_matches(text, '解答|证明|说明|分析|简述')
+                     or length(text) > 100 then '解答题'
+                else '其他' end as qtype,
+           count(*) as cnt
+    from documents group by 1, 2
+    """,
+)
+def r6_qtype_classify(spark, sf_dir):
+    """R6 type-classifier chain (extractor.py:253-280) — order matters,
+    first match wins."""
+    from .structure import qtype_col
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", qtype_col(F.col("text")).alias("qtype")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@q(
+    "r7_score_extract",
+    """
+    select score, count(*) as cnt from (
+      select coalesce(
+               cast(nullif(regexp_extract(s, '[（(](\\d+)分[）)]', 1), '') as int),
+               cast(nullif(regexp_extract(s, '(\\d+)分', 1), '') as int),
+               cast(nullif(regexp_extract(s, '每题(\\d+)分', 1), '') as int),
+               cast(nullif(regexp_extract(s, '共(\\d+)分', 1), '') as int),
+               0) as score
+      from (
+        select case when doc_id % 4 = 0 then '（' || (n_chars % 21) || '分）'
+                    when doc_id % 4 = 1 then '本大题每题' || (n_chars % 7) || '分'
+                    when doc_id % 4 = 2 then '本卷共' || (n_chars % 31) || '分'
+                    else text end as s
+        from documents
+      )
+    ) group by score
+    """,
+)
+def r7_score_extract(spark, sf_dir):
+    """R7 score extraction with pattern priority (extractor.py:282-303)
+    over deterministically constructed strings."""
+    from .structure import score_col
+
+    d = t(spark, sf_dir, "documents")
+    s = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("（"), (F.col("n_chars") % 21).cast("string"), F.lit("分）")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("本大题每题"), (F.col("n_chars") % 7).cast("string"), F.lit("分")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("本卷共"), (F.col("n_chars") % 31).cast("string"), F.lit("分")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(score_col(s).alias("score")).groupBy("score").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@q(
+    "r8_meta_extract",
+    """
+    select cast(sum(cast(tm as bigint)) as bigint) as sum_minutes,
+           cast(sum(cast(sc as bigint)) as bigint) as sum_scores,
+           count(*) as docs
+    from (
+      select cast(nullif(regexp_extract(s, '时间[：:]\\s*(\\d+)\\s*分钟', 1), '') as int) as tm,
+             cast(nullif(regexp_extract(s, '满分[：:]\\s*(\\d+)\\s*分', 1), '') as int) as sc
+      from (
+        select '时间：' || (doc_id % 120) || '分钟 满分：' || (n_chars % 150) || '分' as s
+        from documents where doc_id % 3 = 0
+      )
+    )
+    """,
+)
+def r8_meta_extract(spark, sf_dir):
+    """R8 exam-info regexes (extractor.py:176-191)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    s = F.concat(
+        F.lit("时间："),
+        (F.col("doc_id") % 120).cast("string"),
+        F.lit("分钟 满分："),
+        (F.col("n_chars") % 150).cast("string"),
+        F.lit("分"),
+    )
+    e = d.select(
+        F.nullif(F.regexp_extract(s, r"时间[：:]\s*(\d+)\s*分钟", 1), F.lit(""))
+        .cast("int")
+        .alias("tm"),
+        F.nullif(F.regexp_extract(s, r"满分[：:]\s*(\d+)\s*分", 1), F.lit(""))
+        .cast("int")
+        .alias("sc"),
+    )
+    return e.agg(
+        F.sum(F.col("tm").cast("long")).alias("sum_minutes"),
+        F.sum(F.col("sc").cast("long")).alias("sum_scores"),
+        F.count("*").alias("docs"),
+    )
+
+
+# =====================================================================
+# text-analysis family (training-data pipeline ops)
+# =====================================================================
+@q(
+    "tok_count",
+    """
+    select lang, count(*) as docs,
+           cast(sum(toks) as bigint) as total_tokens,
+           cast(max(toks) as bigint) as max_tokens
+    from (
+      select lang, len(regexp_extract_all(text, '[a-z0-9]+')) as toks
+      from documents
+    ) group by lang
+    """,
+)
+def tok_count(spark, sf_dir):
+    """Token counting (whitespace/wordish regex) per doc, rolled up."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    return d.select("lang", toks.alias("toks")).groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.max("toks").cast("long").alias("max_tokens"),
+    )
+
+
+@q(
+    "fp_dedup_exact",
+    """
+    select count(*) as docs,
+           cast(count(distinct md5(lower(trim(text)))) as bigint) as distinct_fps,
+           cast(count(*) - count(distinct md5(lower(trim(text)))) as bigint) as exact_dups
+    from documents
+    """,
+)
+def fp_dedup_exact(spark, sf_dir):
+    """Exact dedup by content fingerprint (hash-groupBy)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(fp.alias("fp")).agg(
+        F.count("*").alias("docs"),
+        F.countDistinct("fp").alias("distinct_fps"),
+        (F.count("*") - F.countDistinct("fp")).alias("exact_dups"),
+    )
+
+
+@q(
+    "quality_score",
+    """
+    select source,
+           count(*) as docs,
+           cast(sum(case when q >= 50 then 1 else 0 end) as bigint) as good_docs,
+           cast(sum(q) as bigint) as sum_q
+    from (
+      select source,
+             least(100, cast(floor(
+               0.5 * least(n_chars, 500) / 5.0
+               + 50.0 * len(regexp_extract_all(text, '\\bthe\\b|\\ba\\b'))
+                 / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1)
+             ) as bigint)) as q
+      from documents
+    ) group by source
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio heuristic
+    (jusText/Readability-style density features, integerized)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    stops = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\bthe\b|\ba\b"), 0))
+    qv = F.least(
+        F.lit(100),
+        F.floor(
+            0.5 * F.least(F.col("n_chars"), F.lit(500)) / 5.0
+            + 50.0 * stops / F.greatest(toks, F.lit(1))
+        ).cast("long"),
+    )
+    return d.select("source", qv.alias("q")).groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("q") >= 50, 1).otherwise(0)).cast("long").alias("good_docs"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+
+
+@q(
+    "lang_id_heuristic",
+    """
+    select lang, guess, count(*) as cnt from (
+      select lang,
+             case when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+                  when len(regexp_extract_all(text, '\\b(the|of|and)\\b'))
+                       >= len(regexp_extract_all(text, '\\b(der|die|das|el|la|de)\\b'))
+                       then 'en'
+                  else 'other' end as guess
+      from documents
+    ) group by lang, guess
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """n-gram/marker language-ID heuristic (mechanics of the operator;
+    the driver corpus is synthetic so agreement with the label is
+    incidental)."""
+    d = t(spark, sf_dir, "documents")
+    en = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|of|and)\b"), 0))
+    other = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b(der|die|das|el|la|de)\b"), 0)
+    )
+    guess = (
+        F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .when(en >= other, "en")
+        .otherwise("other")
+    )
+    return d.select("lang", guess.alias("guess")).groupBy("lang", "guess").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# =====================================================================
+# similarity family — minhash / simhash / embedding ANN
+# =====================================================================
+@q(
+    "minhash_bands",
+    """
+    select band_key, count(*) as bucket_size from (
+      select md5(s0 || s1) as band_key from (
+        select list_min(list_transform(sh, x -> md5('p0' || x))) as s0,
+               list_min(list_transform(sh, x -> md5('p1' || x))) as s1
+        from (
+          select list_transform(range(1, greatest(length(text) - 3, 2)),
+                                i -> text[i:i+4]) as sh
+          from documents
+        )
+      )
+    ) group by band_key having count(*) > 1
+    """,
+)
+def minhash_bands(spark, sf_dir):
+    """MinHash+LSH banding: 5-char shingles → 2 md5 'permutations' →
+    band key → bucket sizes (near-dup candidate generation)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.substring(F.col("text"), i, 5),
+    )
+    d = d.select(sh.alias("sh"))
+    s0 = F.array_min(F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit("p0"), x))))
+    s1 = F.array_min(F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit("p1"), x))))
+    bands = d.select(F.md5(F.concat(s0, s1)).alias("band_key"))
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+@q(
+    "emb_cosine_top5",
+    """
+    select qid, rk, nid, score from (
+      select qid, nid, score,
+             row_number() over (partition by qid order by score desc, nid) as rk
+      from (
+        select q.vec_id as qid, c.vec_id as nid,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                   i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+                 / sqrt(list_sum(list_transform(range(1, 65),
+                   i -> cast(q.embedding[i] as double) * cast(q.embedding[i] as double))))
+                 / sqrt(list_sum(list_transform(range(1, 65),
+                   i -> cast(c.embedding[i] as double) * cast(c.embedding[i] as double))))
+               , 4) as score
+        from embeddings q join embeddings c on q.vec_id < 20 and c.vec_id != q.vec_id
+      )
+    ) where rk <= 5
+    """,
+)
+def emb_cosine_top5(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embedding column
+    (F.aggregate/zip_with dot products; score rounded to 4dp so the
+    cross-engine float reduction order cannot flip the hash)."""
+    e = t(spark, sf_dir, "embeddings")
+    q_ = e.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    ).filter(F.col("qid") < 20)
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = q_.join(c, F.col("nid") != F.col("qid"))
+    score = F.round(
+        dot(F.col("qe"), F.col("ce"))
+        / F.sqrt(dot(F.col("qe"), F.col("qe")))
+        / F.sqrt(dot(F.col("ce"), F.col("ce"))),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+    return (
+        pairs.select("qid", "nid", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", "nid", "score")
+    )
+
+
+@q(
+    "simhash16",
+    """
+    select sig, count(*) as cnt from (
+      select bit0*32768 + bit1*16384 + bit2*8192 + bit3*4096
+           + bit4*2048 + bit5*1024 + bit6*512 + bit7*256
+           + bit8*128 + bit9*64 + bit10*32 + bit11*16
+           + bit12*8 + bit13*4 + bit14*2 + bit15 as sig
+      from (
+        select {cols}
+        from (
+          select doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) as tok
+          from documents
+        ) group by doc_id
+      )
+    ) group by sig having count(*) > 1
+    """.format(
+        cols=", ".join(
+            "case when sum(case when substring(md5(tok), {p}, 1) in "
+            "('8','9','a','b','c','d','e','f') then 1 else -1 end) > 0 "
+            "then 1 else 0 end as bit{b}".format(p=b + 1, b=b)
+            for b in range(16)
+        )
+    ),
+)
+def simhash16(spark, sf_dir):
+    """SimHash (16-bit nibble-majority variant): explode tokens, per-bit
+    majority vote of md5 nibble high-bits, assemble signature; emit
+    collision buckets (near-dup candidates)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    bit_cols = []
+    for b in range(16):
+        nib = F.substring(F.md5(F.col("tok")), b + 1, 1)
+        vote = F.when(nib.isin(*"89abcdef"), 1).otherwise(-1)
+        bit_cols.append(
+            F.when(F.sum(vote) > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}")
+        )
+    bits = toks.groupBy("doc_id").agg(*bit_cols)
+    sig = sum(
+        (F.col(f"bit{b}") * (1 << (15 - b)) for b in range(16)), F.lit(0)
+    ).alias("sig")
+    return (
+        bits.select(sig)
+        .groupBy("sig")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    with g as (
+      select doc_id,
+             case when len(toks) >= 2
+                  then list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]))
+                  else [] end as grams
+      from (select doc_id, regexp_extract_all(text, '[a-z0-9]+') as toks
+            from documents where doc_id % 10 = 0)
+    )
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           cast(floor(1000000.0
+             * len(list_intersect(a.grams, b.grams))
+             / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1)
+           ) as bigint) as jaccard_ppm
+    from g a join g b on a.doc_id < b.doc_id
+    where len(list_intersect(a.grams, b.grams)) > 0
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Word-bigram Jaccard similarity over a deterministic 10% sample
+    (n-gram near-dup scoring). Integerized to ppm."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    d = d.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.greatest(F.size(F.array_distinct(F.concat("ga", "gb"))), F.lit(1))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.lit(1000000.0) * inter / uni).cast("long").alias("jaccard_ppm"),
+        )
+        .filter(F.size(F.array_intersect("ga", "gb")) > 0)
+    )
+
+
+# =====================================================================
+# streaming-shape — tumbling-window aggregation over event time
+# =====================================================================
+@q(
+    "tumbling_1h",
+    """
+    select event_type,
+           cast(floor(floor(epoch(ts)) / 3600) as bigint) as bucket,
+           count(*) as cnt,
+           cast(sum(cast(floor(value*100) as bigint)) as bigint) as sum_value_c
+    from events
+    group by event_type, floor(floor(epoch(ts)) / 3600)
+    """,
+)
+def tumbling_1h(spark, sf_dir):
+    """Tumbling 1h event-time window (batch twin of the Structured
+    Streaming windowed agg; bucket emitted as epoch-hours so both
+    engines hash identical integers)."""
+    ev = t(spark, sf_dir, "events")
+    bucket = F.floor(_epoch(F.col("ts")) / 3600).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+    )
