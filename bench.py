@@ -1,0 +1,121 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline extraction job plus representative registry queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "extract": {...}}.
+
+Transcripts for the extraction headline are generated deterministically
+(seeded, sized by sf) and cached as parquet in /tmp so repeated runs
+measure extraction, not generation.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "a1_pricing_summary",
+    "w3_lead_gaps",
+    "w6_sessionize",
+    "j1_time_band_join",
+    "j5_broadcast_lookup",
+    "g6_iou",
+    "r6_qtype_classify",
+    "tok_count",
+    "minhash_bands",
+    "simhash16",
+    "emb_cosine_top5",
+    "ngram_jaccard_pairs",
+    "tumbling_1h",
+]
+
+
+def sf_of(path: str) -> float:
+    tag = os.path.basename(path.rstrip("/"))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def cached_transcripts(spark, n_convs: int, parts: int = 64) -> str:
+    from xtract import gen
+
+    path = f"/tmp/xtract_bench/transcripts_{n_convs}.parquet"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        gen.transcripts(spark, n_convs, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from xtract import pipeline, queries, session
+
+    sf = sf_of(SF_DIR)
+    spark = session.build(app="xtract-bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    # headline: fused per-turn extraction throughput
+    n_convs = max(200, int(20000 * sf))
+    tpath = cached_transcripts(spark, n_convs)
+    tr = spark.read.parquet(tpath)
+    n_turns = tr.count()
+    t0 = time.monotonic()
+    spans = pipeline.extract(tr, mode="fused")
+    agg = spans.agg(
+        F.count("*").alias("spans"),
+        F.sum("image_count").alias("imgs"),
+        F.sum("score").alias("scores"),
+    ).collect()[0]
+    t_extract = time.monotonic() - t0
+    timings["extract_fused"] = round(t_extract, 3)
+
+    # relational strategy on a capped slice (tracked, not headline)
+    small = tr.filter(F.col("conv_id") < f"conv{max(200, n_convs // 10):08d}")
+    t0 = time.monotonic()
+    pipeline.extract(small, mode="relational", merge="rank1").agg(
+        F.count("*")
+    ).collect()
+    timings["extract_relational_rank1_slice"] = round(time.monotonic() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        fn = queries.QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.agg(F.count("*")).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "cpus": CPUS,
+                "queries": timings,
+                "extract": {
+                    "turns": n_turns,
+                    "spans": int(agg["spans"]),
+                    "sec": round(t_extract, 3),
+                    "turns_per_sec": round(n_turns / t_extract, 1),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

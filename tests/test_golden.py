@@ -1,0 +1,130 @@
+"""Golden replay against the reference's own saved outputs
+(output/exam_analysis_vl_v2/*_v2_{paddle_raw,split}.json — the
+input→output chain of the v2 OCR-precise splitter, SURVEY.md §5.2).
+
+These files are read-only evidence produced by the real reference run
+(with live OCR + VL); our deterministic rebuild must reproduce every
+split where the deterministic path was decisive, and the divergences
+must be exactly the two documented external-model gaps:
+1. strict≠loose detection counts → the reference consulted VL
+   (v2:382-394); our north-rule replacement falls back to strict.
+2. OCR line geometry: absent from our fixtures, so v2 aborts the split
+   (v2:134-136) — which is also what the reference did when OCR missed.
+"""
+import json
+
+import pytest
+
+from xtract import oracle
+
+GOLD = "/root/reference/output/exam_analysis_vl_v2"
+PAGES = ["2", "3", "7", "8", "mifeng_doubao_1"]
+
+# the single strict/loose-divergent split in the corpus (page 2 block
+# 5: "…(2分)4.在这个…" — mid-line 4. invisible to strict); the
+# reference's VL arbitration sided with loose
+KNOWN_VL_SPLITS = {("2", 5)}
+
+
+def _load(page):
+    raw = json.load(open(f"{GOLD}/{page}_v2_paddle_raw.json"))
+    sp = json.load(open(f"{GOLD}/{page}_v2_split.json"))
+    return raw["blocks"], sp["blocks"]
+
+
+@pytest.mark.parametrize("page", PAGES)
+def test_golden_split_replay(page):
+    raw, split = _load(page)
+    raw_by_id = {b["id"]: b for b in raw}
+    groups: dict[int, list] = {}
+    for b in split:
+        if b.get("split_from_merged"):
+            groups.setdefault(b["id"] // 100, []).append(b)
+
+    for parent, subs in groups.items():
+        subs.sort(key=lambda b: b["id"])
+        text = raw_by_id[parent]["text"]
+        strict = oracle.detect(text, "v2-strict")
+        loose = oracle.detect(text, "v2-loose")
+
+        if (page, parent) in KNOWN_VL_SPLITS:
+            assert len(strict) != len(loose)
+            # the VL outcome equals the loose detection here
+            assert [m["number"] for m in loose] == [
+                s["question_number"] for s in subs
+            ]
+            continue
+
+        # deterministic-decisive case: exact replay
+        assert len(strict) == len(loose), (page, parent)
+        assert [m["number"] for m in strict] == [
+            s["question_number"] for s in subs
+        ], (page, parent)
+        # v2 slicing: sub 0 from char 0, later from match position
+        # (v2:140-150); ids parent*100+i (v2:151-153)
+        for i, (m, s) in enumerate(zip(strict, subs)):
+            start = 0 if i == 0 else m["position"]
+            end = strict[i + 1]["position"] if i + 1 < len(strict) else len(text)
+            assert text[start:end].strip() == s["text"], (page, parent, i)
+            assert s["id"] == parent * 100 + i
+
+
+@pytest.mark.parametrize("page", PAGES)
+def test_golden_split_geometry_invariants(page):
+    """Sub-block geometry in the goldens obeys the v2 boundary rules we
+    implement: x-range inherited, first top = parent top, last bottom =
+    parent bottom, boundaries contiguous (v2:226-245)."""
+    raw, split = _load(page)
+    raw_by_id = {b["id"]: b for b in raw}
+    groups: dict[int, list] = {}
+    for b in split:
+        if b.get("split_from_merged"):
+            groups.setdefault(b["id"] // 100, []).append(b)
+    for parent, subs in groups.items():
+        subs.sort(key=lambda b: b["id"])
+        pb = raw_by_id[parent]["bbox"]
+        assert subs[0]["bbox"][1] == pb[1]
+        assert subs[-1]["bbox"][3] == pb[3]
+        for s in subs:
+            assert s["bbox"][0] == pb[0] and s["bbox"][2] == pb[2]
+        for a, b2 in zip(subs, subs[1:]):
+            assert a["bbox"][3] == b2["bbox"][1]
+
+
+@pytest.mark.parametrize("page", PAGES)
+def test_golden_unsplit_blocks_stay_whole(page):
+    """Every text block the reference did NOT split must come out whole
+    from our v2 splitter too. Without fixture OCR lines the splitter's
+    abort rule (v2:134-136) guarantees it; this pins that the pipeline
+    cannot over-split the real-page corpus."""
+    raw, split = _load(page)
+    split_parents = {b["id"] // 100 for b in split if b.get("split_from_merged")}
+    for b in raw:
+        if b["label"] != "text" or b["id"] in split_parents:
+            continue
+        blk = {
+            "block_label": "text",
+            "block_content": b["text"],
+            "block_bbox": b["bbox"],
+            "block_id": b["id"],
+        }
+        out = oracle.split_block_v2(blk, [])
+        assert len(out) == 1 and not out[0].get("split_from_merged"), (
+            page,
+            b["id"],
+        )
+
+
+def test_golden_block_passthrough_counts():
+    """Non-split blocks pass through the split stage byte-identical
+    (id, text, bbox, label)."""
+    for page in PAGES:
+        raw, split = _load(page)
+        raw_by_id = {b["id"]: b for b in raw}
+        for b in split:
+            if b.get("split_from_merged"):
+                continue
+            src = raw_by_id[b["id"]]
+            assert b["text"] == src["text"]
+            assert b["bbox"] == src["bbox"]
+            assert b["label"] == src["label"]

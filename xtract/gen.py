@@ -115,7 +115,10 @@ def _payload_b(r: random.Random) -> str:
     """Serialized layout-parse JSON (FIXTURES.md §2b)."""
     blocks: list[dict[str, Any]] = []
     lines: list[dict[str, Any]] = []
-    bid = 0
+    # ids start at 1: the v2 sub-id scheme parent*100+i (reference
+    # v2:151-153) collides with sibling ids when a parent id is 0 —
+    # real reference pages never have that, so neither do our fixtures
+    bid = 1
     y = 80
 
     def add(label: str, content: str, bbox: list[int]) -> int:

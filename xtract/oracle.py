@@ -418,17 +418,25 @@ def merge_turn(
 
 
 # -------------------------------------------------------------- structure
+_RX_CHOICE = re.compile(r"[A-D][\.、]")
+_RX_BLANK = re.compile(r"[（(]\s*[）)]|_{2,}")
+_RX_JUDGE = re.compile(r"判断|对错|正确|错误|√|×|[（(]\s*[）)]")
+_RX_CALC = re.compile(r"计算|求值|求出|算出")
+_RX_ANSWER = re.compile(r"解答|证明|说明|分析|简述")
+_RX_SCORE = [re.compile(p) for p in SCORE_PATTERNS]
+
+
 def classify_qtype(content: str) -> str:
     """extractor.py:253-280 — first-match-wins chain."""
-    if re.search(r"[A-D][\.、]", content):
+    if _RX_CHOICE.search(content):
         return QTYPE_CHOICE
-    if re.search(r"[（(]\s*[）)]|_{2,}", content):
+    if _RX_BLANK.search(content):
         return QTYPE_BLANK
-    if re.search(r"判断|对错|正确|错误|√|×|[（(]\s*[）)]", content) and len(content) < LIMITS.judge_max_len:
+    if _RX_JUDGE.search(content) and len(content) < LIMITS.judge_max_len:
         return QTYPE_JUDGE
-    if re.search(r"计算|求值|求出|算出", content):
+    if _RX_CALC.search(content):
         return QTYPE_CALC
-    if re.search(r"解答|证明|说明|分析|简述", content) or len(content) > LIMITS.answer_min_len:
+    if _RX_ANSWER.search(content) or len(content) > LIMITS.answer_min_len:
         return QTYPE_ANSWER
     return QTYPE_OTHER
 
@@ -436,8 +444,8 @@ def classify_qtype(content: str) -> str:
 def extract_score(content: str) -> int:
     """extractor.py:282-303 — first pattern (in priority order) with a
     match anywhere wins; default 0."""
-    for pat in SCORE_PATTERNS:
-        m = re.search(pat, content)
+    for pat in _RX_SCORE:
+        m = pat.search(content)
         if m:
             try:
                 return int(m.group(1))
@@ -557,3 +565,92 @@ def turn_counters(rows: list[dict[str, Any]]) -> dict[str, int]:
         "total_images": sum(r["image_count"] for r in rows),
         "split_count": sum(1 for r in rows if r["split_from_merged"]),
     }
+
+
+# ----------------------------------------------------- v2 analyzer path
+def analyze_turn(text: str) -> list[dict[str, Any]]:
+    """The v2 analyzer flow with the deterministic X4 replacement
+    (SURVEY.md §2.9): v2 split → greedy image assignment → rule-based
+    grouping (doc_title→doc_title, paragraph_title→header,
+    aside_text/number→aside, text→question) → J7 unassigned repair →
+    A1 merged bbox + ordered text concat (…vl_ocr.py:781-851,
+    v2:1131-1186).
+
+    Group order: assembly order (refined-block order), unknown
+    singletons appended sorted by id (the reference iterates a Python
+    set there — we pin a deterministic order).
+    """
+    payload = parse_payload(text)
+    blocks = payload["blocks"]
+    lines_by_block: dict[int, list] = {}
+    for ln in payload["lines"]:
+        lines_by_block.setdefault(ln.get("block_id"), []).append(ln)
+
+    refined: list[dict[str, Any]] = []
+    for b in blocks:
+        if b.get("block_label") == "text":
+            refined.extend(split_block_v2(b, lines_by_block.get(b.get("block_id"), [])))
+        else:
+            refined.append(dict(b))
+
+    by_id = {b.get("block_id"): b for b in refined}
+    texts = [b for b in refined if b.get("block_label") == "text"]
+    images = [b for b in refined if b.get("block_label") == "image"]
+
+    merged = merge_turn(texts, images)
+
+    groups: list[dict[str, Any]] = []
+    qi = 0
+    for b in refined:
+        label = b.get("block_label")
+        if label == "doc_title":
+            groups.append({"type": "doc_title", "block_ids": [b["block_id"]]})
+        elif label == "paragraph_title":
+            groups.append({"type": "header", "block_ids": [b["block_id"]]})
+        elif label in ("aside_text", "number"):
+            groups.append({"type": "aside", "block_ids": [b["block_id"]]})
+        elif label == "text":
+            m = merged[qi]
+            qi += 1
+            groups.append(
+                {
+                    "type": "question",
+                    "block_ids": [b["block_id"]] + list(m["image_ids"]),
+                }
+            )
+    # J7: unassigned ids become 'unknown' singletons (…vl_ocr.py:822-851)
+    assigned = {i for g in groups for i in g["block_ids"]}
+    for uid in sorted(i for i in by_id if i not in assigned):
+        groups.append({"type": "unknown", "block_ids": [uid]})
+
+    # A1 merge: min/max bbox + space-joined non-empty texts in
+    # block_ids order; all-missing → [0,0,0,0] / "" (v2:1131-1166)
+    out = []
+    for seq, g in enumerate(groups):
+        xs1, ys1, xs2, ys2, txts = [], [], [], [], []
+        for bid in g["block_ids"]:
+            blk = by_id.get(bid)
+            if blk is None:
+                continue
+            x1, y1, x2, y2 = blk["block_bbox"]
+            xs1.append(x1)
+            ys1.append(y1)
+            xs2.append(x2)
+            ys2.append(y2)
+            if blk.get("block_content"):
+                txts.append(blk["block_content"])
+        bbox = (
+            [int(min(xs1)), int(min(ys1)), int(max(xs2)), int(max(ys2))]
+            if xs1
+            else [0, 0, 0, 0]
+        )
+        out.append(
+            {
+                "group_seq": seq,
+                "gtype": g["type"],
+                "block_ids": g["block_ids"],
+                "merged_bbox": bbox,
+                "merged_text": " ".join(txts),
+            }
+        )
+    return out

@@ -63,24 +63,24 @@ def _extract_fused(transcripts: DataFrame) -> DataFrame:
     relational plan spells out operator-by-operator; tests cross-check
     the two strategies and the pure-Python oracle against each other."""
 
+    field_names = [f.name for f in schema.SPANS.fields]
+
     def kernel(batches):
         for pdf in batches:
-            out = []
+            # columnar accumulation: one list per output column (much
+            # cheaper than list-of-dicts → DataFrame at Arrow scale)
+            cols = {name: [] for name in field_names}
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
+                turn_idx = int(turn_idx)
                 for seq, row in enumerate(oracle.extract_turn(text)):
-                    out.append(
-                        {
-                            "conv_id": conv_id,
-                            "turn_idx": int(turn_idx),
-                            "seq": seq,
-                            **row,
-                        }
-                    )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in schema.SPANS.fields]
-            )
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(turn_idx)
+                    cols["seq"].append(seq)
+                    for k, v in row.items():
+                        cols[k].append(v)
+            yield pd.DataFrame(cols, columns=field_names)
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         kernel, schema=schema.SPANS
@@ -104,4 +104,43 @@ def conversation_stats(final_spans: DataFrame) -> DataFrame:
         F.sum("image_count").alias("images"),
         F.count_if("split_from_merged").alias("from_split"),
         F.countDistinct("turn_idx").alias("turns_with_spans"),
+    )
+
+
+def analyze(transcripts: DataFrame, mode: str = "fused") -> DataFrame:
+    """v2-analyzer groups output (groups.GROUP_COLS): fused single
+    kernel, or the relational plan in groups.py."""
+    if mode == "relational":
+        from . import groups
+
+        return groups.analyze(transcripts)
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("group_seq", T.IntegerType(), False),
+            T.StructField("gtype", T.StringType(), False),
+            T.StructField("block_ids", T.ArrayType(T.IntegerType()), False),
+            T.StructField("merged_bbox", T.ArrayType(T.IntegerType()), False),
+            T.StructField("merged_text", T.StringType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for g in oracle.analyze_turn(text):
+                    rows.append(
+                        {"conv_id": conv_id, "turn_idx": int(turn_idx), **g}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=out_schema
     )

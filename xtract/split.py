@@ -171,3 +171,115 @@ def split_spans(blocks: DataFrame, mode: str = "v1") -> DataFrame:
     )
 
     return whole.select(SPAN_COLS).unionByName(split_rows.select(SPAN_COLS))
+
+
+def split_spans_v2(blocks: DataFrame) -> DataFrame:
+    """v2 OCR-based split, relational form (v2:97-245 semantics):
+
+    - detection: unanchored patterns + line-start/content validation
+      (strict arm of the R4 arbitration; the deterministic no-VL
+      fallback is strict either way, v2:390-399)
+    - geometry: per match, the FIRST OCR line whose stripped text
+      matches ^n\\. |^n、|第n题|\\(n\\) (v2:249-261) — an intra-row
+      lookup via higher-order filter with a dynamic regex
+    - any unresolved match aborts the whole block's split (v2:134-136)
+    - sub-block 0 slices from char 0 and inherits the parent top;
+      ids are parent*100+i (v2:140-153); no min-height clamp
+
+    Output columns = SPAN_COLS, with ``source_block_id`` carrying the
+    v2 id (parent*100+i for splits, the block's own id otherwise) —
+    the group-assembly key of groups.py.
+    """
+    tb = blocks.filter(F.col("block.block_label") == "text")
+    tb = with_matches(tb, "block.block_content", "v2-strict")
+
+    content = F.col("block.block_content")
+    bbox = F.col("block.block_bbox")
+    valid = (F.length(F.coalesce(content, F.lit(""))) > 0) & (F.size(bbox) == 4)
+    n = F.size("matches")
+
+    # per-match line-top lookup (None → unresolved)
+    def line_top(m):
+        num = m["number"].cast("string")
+        pat = F.concat(
+            F.lit("^"), num, F.lit("\\.|^"), num, F.lit("、|第"),
+            num, F.lit("题|\\("), num, F.lit("\\)"),
+        )
+        hits = F.filter(
+            F.col("own_lines"),
+            lambda l: F.regexp_like(
+                F.regexp_replace(l["text"], r"(?U)^\s+|\s+$", ""), pat
+            ),
+        )
+        return F.when(
+            F.size(hits) > 0,
+            (bbox[1] + F.array_min(F.transform(hits[0]["poly"], lambda p: p[1])))
+            .cast("int"),
+        )
+
+    tops = F.transform(F.col("matches"), line_top)
+    can_split = (
+        valid
+        & (n >= 2)
+        & (F.size("own_lines") > 0)
+        & ~F.exists(tops, lambda t_: t_.isNull())
+    )
+    tb = tb.withColumn("tops", tops).withColumn("can_split", can_split)
+
+    whole = tb.filter(~F.col("can_split")).select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        F.lit(0).alias("span_ord"),
+        F.lit(None).cast("int").alias("question_number"),
+        content.alias("span_text"),
+        bbox.alias("bbox"),
+        F.lit(False).alias("split_from_merged"),
+        F.col("block.block_id").alias("source_block_id"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+    multi = tb.filter(F.col("can_split")).select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        content.alias("content"),
+        bbox.alias("bb"),
+        F.col("block.block_id").alias("block_id"),
+        F.posexplode(F.arrays_zip("matches", "tops")).alias("m_pos", "mt"),
+    )
+
+    y1 = F.col("bb")[1]
+    y2 = F.col("bb")[3]
+    w = Window.partitionBy("conv_id", "turn_idx", "block_pos").orderBy("m_pos")
+    raw_top = F.col("mt.tops")
+    pos = F.col("mt.matches.position")
+    first = F.col("m_pos") == 0
+
+    start = F.when(first, F.lit(0)).otherwise(pos)
+    end = F.coalesce(F.lead(pos).over(w), F.length("content"))
+    piece = _strip(F.substring(F.col("content"), start + 1, end - start))
+    top = F.when(first, y1).otherwise(raw_top)
+    bottom = F.coalesce(F.lead(raw_top).over(w), y2)
+
+    split_rows = multi.select(
+        "conv_id",
+        "turn_idx",
+        "block_pos",
+        F.col("m_pos").alias("span_ord"),
+        F.col("mt.matches.number").alias("question_number"),
+        piece.alias("span_text"),
+        F.array(
+            F.col("bb")[0].cast("int"),
+            top.cast("int"),
+            F.col("bb")[2].cast("int"),
+            bottom.cast("int"),
+        ).alias("bbox"),
+        F.lit(True).alias("split_from_merged"),
+        (F.col("block_id") * LIMITS.sub_id_factor + F.col("m_pos")).alias(
+            "source_block_id"
+        ),
+        F.lit(1.0).alias("confidence"),
+    )
+
+    return whole.select(SPAN_COLS).unionByName(split_rows.select(SPAN_COLS))
