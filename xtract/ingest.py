@@ -1,0 +1,79 @@
+"""S1 envelope ingestion: PaddleOCR-VL ``layoutParsingResults`` JSON →
+the engine's payload form (schema.PAYLOAD), mirroring the reference
+scan `result_data['layoutParsingResults'][0]['prunedResult']
+['parsing_res_list']` (extractor.py:62-74).
+
+Declarative: ``from_json`` with the envelope schema, then struct
+navigation — no Python. The converted payload feeds the same pipeline
+as transcript turns, so a directory of raw layout-parse envelopes is a
+first-class source.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schema
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField(
+            "layoutParsingResults",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "prunedResult",
+                            T.StructType(
+                                [
+                                    T.StructField("width", T.IntegerType(), True),
+                                    T.StructField("height", T.IntegerType(), True),
+                                    T.StructField(
+                                        "parsing_res_list",
+                                        T.ArrayType(schema.BLOCK),
+                                        True,
+                                    ),
+                                ]
+                            ),
+                            True,
+                        )
+                    ]
+                )
+            ),
+            True,
+        )
+    ]
+)
+
+
+def envelope_to_payload(envelope_json: F.Column) -> F.Column:
+    """Column transform: raw envelope JSON string → payload struct."""
+    env = F.from_json(envelope_json, ENVELOPE)
+    pruned = env["layoutParsingResults"][0]["prunedResult"]
+    return F.struct(
+        F.struct(
+            pruned["width"].alias("width"), pruned["height"].alias("height")
+        ).alias("page"),
+        pruned["parsing_res_list"].alias("blocks"),
+        F.array().cast(schema.PAYLOAD["lines"].dataType).alias("lines"),
+    )
+
+
+def read_envelopes(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of envelope JSON files → transcripts-shaped rows
+    (conv_id = file name, turn_idx = 0) whose ``text`` is the
+    re-serialized payload, ready for pipeline.extract/analyze."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("conv_id"),
+        F.col("value"),
+    )
+    payload = envelope_to_payload(F.col("value"))
+    return raw.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.to_json(payload).alias("text"),
+        F.lit("layout").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
