@@ -57,28 +57,28 @@ def image_blocks(blocks: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ greedy path
-def _greedy_turn(spans: pd.DataFrame, imgs: pd.DataFrame) -> pd.DataFrame:
-    """One page/turn: the exclusive-assignment walk, image side as
-    numpy columns."""
-    spans = spans.sort_values(["block_pos", "span_ord"], kind="stable")
-    out_rows = []
+def _greedy_lists(sp_rows, im_rows) -> list[dict]:
+    """One page/turn: the exclusive-assignment walk over packed struct
+    lists, image side as numpy columns."""
+    spans = sorted(sp_rows, key=lambda s: (s["block_pos"], s["span_ord"]))
+    out_rows: list[dict] = []
 
-    if len(imgs):
-        imgs = imgs.sort_values("img_pos", kind="stable")
-        il = imgs["ix1"].to_numpy(dtype=np.int64)
-        it = imgs["iy1"].to_numpy(dtype=np.int64)
-        ir = imgs["ix2"].to_numpy(dtype=np.int64)
-        ib = imgs["iy2"].to_numpy(dtype=np.int64)
-        iid = imgs["img_id"].to_numpy()
-        ipos = imgs["img_pos"].to_numpy()
+    if len(im_rows):
+        imgs = sorted(im_rows, key=lambda i_: i_["img_pos"])
+        il = np.array([i_["ix1"] for i_ in imgs], dtype=np.int64)
+        it = np.array([i_["iy1"] for i_ in imgs], dtype=np.int64)
+        ir = np.array([i_["ix2"] for i_ in imgs], dtype=np.int64)
+        ib = np.array([i_["iy2"] for i_ in imgs], dtype=np.int64)
+        iid = np.array([i_["img_id"] for i_ in imgs], dtype=np.int64)
+        ipos = np.array([i_["img_pos"] for i_ in imgs], dtype=np.int64)
         icx = (il + ir) / 2
         icy = (it + ib) / 2
         used = np.zeros(len(imgs), dtype=bool)
     else:
         used = np.zeros(0, dtype=bool)
 
-    for order, row in enumerate(spans.itertuples(index=False)):
-        tb = list(row.bbox) if row.bbox is not None else []
+    for order, row in enumerate(spans):
+        tb = list(row["bbox"]) if row["bbox"] is not None else []
         ids: list[int] = []
         boxes: list[list[int]] = []
         if len(tb) == 4 and len(used):
@@ -138,47 +138,69 @@ def _greedy_turn(spans: pd.DataFrame, imgs: pd.DataFrame) -> pd.DataFrame:
 
         out_rows.append(
             {
-                "conv_id": row.conv_id,
-                "turn_idx": row.turn_idx,
-                "question_number": row.question_number,
-                "span_text": row.span_text,
+                "question_number": row["question_number"],
+                "span_text": row["span_text"],
                 "bbox": bbox,
                 "has_image": bool(ids),
                 "image_ids": ids,
                 "image_count": len(ids),
-                "split_from_merged": bool(row.split_from_merged),
-                "source_block_id": row.source_block_id,
+                "split_from_merged": bool(row["split_from_merged"]),
+                "source_block_id": row["source_block_id"],
                 "text_order": order,
             }
         )
 
-    cols = [
-        "conv_id",
-        "turn_idx",
-        "question_number",
-        "span_text",
-        "bbox",
-        "has_image",
-        "image_ids",
-        "image_count",
-        "split_from_merged",
-        "source_block_id",
-        "text_order",
-    ]
-    return pd.DataFrame(out_rows, columns=cols)
+    return out_rows
 
 
 def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
-    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return _greedy_turn(left, right).iloc[0:0]
-        return _greedy_turn(left, right)
+    """Pack each turn's spans and images into single rows (one shuffle
+    per side, join reuses the agg partitioning), then run the greedy
+    walk over MANY turns per Arrow batch in one mapInPandas.
 
-    return (
-        spans.groupBy("conv_id", "turn_idx")
-        .cogroup(images.groupBy("conv_id", "turn_idx"))
-        .applyInPandas(fn, MERGED_SCHEMA)
+    A naive cogroup.applyInPandas would invoke Python once per turn —
+    page-sized groups mean millions of per-group calls at scale; this
+    formulation amortizes that to once per ~10k-row batch.
+    """
+    sp = spans.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(
+            F.struct(
+                "block_pos",
+                "span_ord",
+                "question_number",
+                "span_text",
+                "bbox",
+                "split_from_merged",
+                "source_block_id",
+            )
+        ).alias("sp")
     )
+    im = images.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(
+            F.struct("img_pos", "img_id", "ix1", "iy1", "ix2", "iy2")
+        ).alias("im")
+    )
+    packed = sp.join(im, ["conv_id", "turn_idx"], "left")
+
+    out_cols = [f.split(" ")[0] for f in MERGED_SCHEMA.split(", ")]
+
+    def kernel(batches):
+        for pdf in batches:
+            cols = {c: [] for c in out_cols}
+            for conv_id, turn_idx, sp_rows, im_rows in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sp"], pdf["im"]
+            ):
+                rows = _greedy_lists(
+                    sp_rows, im_rows if im_rows is not None else []
+                )
+                for r in rows:
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(int(turn_idx))
+                    for k, v in r.items():
+                        cols[k].append(v)
+            yield pd.DataFrame(cols, columns=out_cols)
+
+    return packed.mapInPandas(kernel, schema=MERGED_SCHEMA)
 
 
 # ------------------------------------------------------------- rank1 path
