@@ -105,11 +105,15 @@ def _extraction_queries() -> dict[str, Callable]:
     def x_exam_info(spark, sf_dir):
         return pipeline.exam_info(_derived_transcripts(spark, sf_dir))
 
+    def x_analyze_groups(spark, sf_dir):
+        return pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
         "x_turn_counters": x_turn_counters,
         "x_exam_info": x_exam_info,
+        "x_analyze_groups": x_analyze_groups,
     }
 
 

@@ -156,3 +156,40 @@ def test_turn_counters_match_oracle(spark, transcripts):
             c["total_images"],
             c["split_count"],
         )
+
+
+def test_duplicate_question_numbers_parity(spark):
+    """Reference quirk faithfully reproduced: slicing looks up spans by
+    NUMBER (first match wins, question_splitter.py:357-376), so a
+    repeated '1.' yields two spans with the first occurrence's slice
+    and an empty span for the number in between — in all three
+    implementations, under ANSI mode (negative-length substring)."""
+    import pandas as pd
+
+    from xtract import oracle, schema
+
+    text = "1. 第一题的内容足够长了\n2. 第二题的内容也长\n1. 重复题号的内容够长了"
+    exp = [
+        (r["question_number"], r["span_text"]) for r in oracle.extract_turn(text)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "conv_id": "c",
+                    "turn_idx": 0,
+                    "role": "user",
+                    "text": text,
+                    "tool": None,
+                    "ts": pd.Timestamp("2026-01-01"),
+                }
+            ]
+        ),
+        schema=schema.TRANSCRIPTS,
+    )
+    for mode in ("fused", "relational"):
+        got = [
+            (r.question_number, r.span_text)
+            for r in pipeline.extract(df, mode=mode).orderBy("seq").collect()
+        ]
+        assert got == exp, mode
