@@ -912,3 +912,112 @@ def tumbling_1h(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(_cents(F.col("value"))).alias("sum_value_c"),
     )
+
+
+@q(
+    "g8_normalize_coords",
+    """
+    select p_partkey,
+           cast(floor(nx1 * 2866 / 1000.0) as bigint) as px1,
+           cast(floor(ny1 * 2023 / 1000.0) as bigint) as py1,
+           cast(floor(nx2 * 2866 / 1000.0) as bigint) as px2,
+           cast(floor(ny2 * 2023 / 1000.0) as bigint) as py2
+    from (
+      select p_partkey,
+             p_partkey % 900 as nx1, (p_partkey * 3) % 900 as ny1,
+             p_partkey % 900 + 50 as nx2, (p_partkey * 3) % 900 + 60 as ny2
+      from part
+    )
+    """,
+)
+def g8_normalize_coords(spark, sf_dir):
+    """G8 0-1000→pixel normalization (exam_paper_splitter_v3.py:108-126),
+    int truncation preserved via floor (coords non-negative)."""
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    nx1, ny1 = k % 900, (k * 3) % 900
+    return p.select(
+        "p_partkey",
+        F.floor(nx1 * 2866 / 1000.0).cast("long").alias("px1"),
+        F.floor(ny1 * 2023 / 1000.0).cast("long").alias("py1"),
+        F.floor((nx1 + 50) * 2866 / 1000.0).cast("long").alias("px2"),
+        F.floor((ny1 + 60) * 2023 / 1000.0).cast("long").alias("py2"),
+    )
+
+
+@q(
+    "g9_bbox_string_parse",
+    """
+    select cast(sum(cast(regexp_extract(s, '<bbox>\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*</bbox>', 1) as int)) as bigint) as sum_x1,
+           cast(sum(cast(regexp_extract(s, '<bbox>\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*</bbox>', 4) as int)) as bigint) as sum_y2,
+           count(*) as n
+    from (
+      select '答案区域 <bbox>' || (p_partkey % 500) || ' ' || (p_size * 3) || ' '
+             || (p_partkey % 500 + 80) || ' ' || (p_size * 3 + 90) || '</bbox> 结束' as s
+      from part where p_partkey % 2 = 0
+    )
+    """,
+)
+def g9_bbox_string_parse(spark, sf_dir):
+    """G9 '<bbox>x y x y</bbox>' parse (exam_paper_splitter_v3.py:92-106)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    s = F.concat(
+        F.lit("答案区域 <bbox>"),
+        (F.col("p_partkey") % 500).cast("string"),
+        F.lit(" "),
+        (F.col("p_size") * 3).cast("string"),
+        F.lit(" "),
+        (F.col("p_partkey") % 500 + 80).cast("string"),
+        F.lit(" "),
+        (F.col("p_size") * 3 + 90).cast("string"),
+        F.lit("</bbox> 结束"),
+    )
+    pat = r"<bbox>\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s*</bbox>"
+    return p.select(
+        F.regexp_extract(s, pat, 1).cast("int").alias("x1"),
+        F.regexp_extract(s, pat, 4).cast("int").alias("y2"),
+    ).agg(
+        F.sum(F.col("x1").cast("long")).alias("sum_x1"),
+        F.sum(F.col("y2").cast("long")).alias("sum_y2"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "g10_scale_autofix",
+    """
+    select cast(count_if(fixed_x2 > raw_x2) as bigint) as rescaled,
+           count(*) as n,
+           cast(sum(fixed_x2) as bigint) as sum_fixed_x2
+    from (
+      select raw_x2,
+             case when greatest(raw_x1, raw_y1, raw_x2, raw_y2) < least(2866, 2023) / 3
+                  then cast(floor(raw_x2 * (cast(least(2866, 2023) as double)
+                       / greatest(cast(greatest(raw_x1, raw_y1, raw_x2, raw_y2) as double), 1.0))) as bigint)
+                  else cast(raw_x2 as bigint) end as fixed_x2
+      from (
+        select p_partkey % 700 as raw_x1, (p_partkey * 3) % 700 as raw_y1,
+               p_partkey % 700 + p_size as raw_x2, (p_partkey * 3) % 700 + p_size as raw_y2
+        from part
+      )
+    )
+    """,
+)
+def g10_scale_autofix(spark, sf_dir):
+    """G10 scale-mismatch autofix (docs/坐标缩放问题修复说明.md:151-173):
+    coords recorded in a smaller space than the page get rescaled."""
+    p = t(spark, sf_dir, "part")
+    k, s = F.col("p_partkey"), F.col("p_size")
+    x1, y1 = k % 700, (k * 3) % 700
+    x2, y2 = x1 + s, y1 + s
+    mx = F.greatest(x1, y1, x2, y2)
+    needs = mx < F.least(F.lit(2866), F.lit(2023)) / 3
+    scale = F.least(F.lit(2866), F.lit(2023)).cast("double") / F.greatest(
+        mx.cast("double"), F.lit(1.0)
+    )
+    fixed_x2 = F.when(needs, F.floor(x2 * scale).cast("long")).otherwise(x2.cast("long"))
+    return p.select(x2.alias("raw_x2"), fixed_x2.alias("fixed_x2")).agg(
+        F.count_if(F.col("fixed_x2") > F.col("raw_x2")).cast("long").alias("rescaled"),
+        F.count("*").alias("n"),
+        F.sum("fixed_x2").cast("long").alias("sum_fixed_x2"),
+    )
