@@ -251,3 +251,29 @@ def test_merge_first_text_wins():
     merged = oracle.merge_turn(texts, imgs)
     assert merged[0]["image_ids"] == [9]
     assert merged[1]["image_ids"] == []
+
+
+def test_reference_doc_false_positive_corpus():
+    """The four risk cases from docs/OCR结果二次拆分方案设计.md:406-440 —
+    in-sentence numbering, option labels, reference lists must not
+    split; the composite sub-question case splits only when formatted
+    on separate lines."""
+    # 案例 1: digits inside one question's prose (no newline before)
+    t1 = "如图所示，1.电路中电压为 5V，2.电流为 2A"
+    assert len(oracle.detect(t1, "v1")) <= 1
+    assert oracle.detect_v2(t1) is None
+    # 案例 2: option labels A./B./C.
+    t2 = "A. 选项1  B. 选项2  C. 选项3"
+    assert oracle.detect(t2, "v1") == []
+    assert oracle.detect_v2(t2) is None
+    # 案例 3: reference list (mid-line numbers)
+    t3 = "参考资料：1. 《物理学》 2. 《化学基础》"
+    assert oracle.detect(t3, "v1") == []
+    assert oracle.detect_v2(t3) is None
+    # 案例 4: composite question — same line stays whole...
+    t4 = "阅读材料：某段很长的材料 问题：(1) 第一问内容 (2) 第二问内容 (3) 第三问内容"
+    assert oracle.detect_v2(t4) is None
+    # ...but newline-separated sub-questions do split
+    t5 = "阅读材料：某段很长的材料\n(1) 第一问内容足够长\n(2) 第二问内容足够长"
+    got = oracle.detect_v2(t5)
+    assert got and [m["number"] for m in got] == [1, 2]

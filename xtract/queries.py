@@ -742,7 +742,7 @@ def minhash_bands(spark, sf_dir):
                    i -> cast(q.embedding[i] as double) * cast(q.embedding[i] as double))))
                  / sqrt(list_sum(list_transform(range(1, 65),
                    i -> cast(c.embedding[i] as double) * cast(c.embedding[i] as double))))
-               , 4) as score
+               , 4) + 0.0 as score
         from embeddings q join embeddings c on q.vec_id < 20 and c.vec_id != q.vec_id
       )
     ) where rk <= 5
@@ -766,12 +766,13 @@ def emb_cosine_top5(spark, sf_dir):
         )
 
     pairs = q_.join(c, F.col("nid") != F.col("qid"))
+    # + 0.0 folds IEEE -0.0 to +0.0 so cross-engine value hashes agree
     score = F.round(
         dot(F.col("qe"), F.col("ce"))
         / F.sqrt(dot(F.col("qe"), F.col("qe")))
         / F.sqrt(dot(F.col("ce"), F.col("ce"))),
         4,
-    )
+    ) + F.lit(0.0)
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
     return (
         pairs.select("qid", "nid", score.alias("score"))
