@@ -88,15 +88,16 @@ def main() -> None:
             "Relational split stage",
             p,
             [
-                "Exactly one `Exchange` (the per-block boundary window) keyed by "
-                "(conv_id, turn_idx, block_pos) — strictly finer than the turn key, "
-                "so no skew concentration is possible.",
+                "ZERO `Exchange` operators: a block's matches live in one array "
+                "cell, so locate / y-sort / lead-boundaries / slicing are array "
+                "transforms — the whole split stage is narrow.",
                 "Codegen check uses explain('codegen'): the AQE formatted view "
                 "does not annotate codegen ids pre-execution. The detection UDF "
                 "(ArrowEvalPython) fences the codegen regions by design.",
             ],
         )
     )
+    checks.append(("split plan has no Exchange", "Exchange" not in p))
     checks.append(
         (
             "split compiles WholeStageCodegen subtree(s)",

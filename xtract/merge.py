@@ -5,9 +5,9 @@ Two interchangeable strategies, same output schema:
 - ``merge_greedy`` — exact reference parity. The reference walks text
   blocks in list order and lets each claim its verified images
   exclusively, first-text-wins (question_merger.py:56-104). That
-  sequential dependency is real, so it runs as a cogrouped Arrow UDF
-  per (conv_id, turn_idx): both sides shuffle once on the turn key,
-  groups are page-sized (tens of rows), and the walk inside is
+  sequential dependency is real, so each side packs per turn via
+  collect_list (one shuffle each on the turn key) and the walk runs
+  over many turns per Arrow batch in a single mapInPandas,
   numpy-vectorized over the image side.
 
 - ``merge_rank1`` — Spark-native approximation: spatial theta-join on
@@ -32,7 +32,7 @@ MERGED_SCHEMA = (
     "conv_id string, turn_idx int, question_number int, span_text string, "
     "bbox array<int>, has_image boolean, image_ids array<int>, "
     "image_count int, split_from_merged boolean, source_block_id int, "
-    "text_order int"
+    "text_order int, seq int"
 )
 
 
@@ -150,6 +150,17 @@ def _greedy_lists(sp_rows, im_rows) -> list[dict]:
             }
         )
 
+    # final per-turn order (sentinel-999 sort, extractor.py:211-214)
+    # computed here so downstream structuring stays shuffle-free
+    order = sorted(
+        range(len(out_rows)),
+        key=lambda j: (
+            out_rows[j]["question_number"] or LIMITS.missing_number_sentinel,
+            out_rows[j]["text_order"],
+        ),
+    )
+    for seq, j in enumerate(order):
+        out_rows[j]["seq"] = seq
     return out_rows
 
 

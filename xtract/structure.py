@@ -57,17 +57,23 @@ def structure(merged: DataFrame) -> DataFrame:
     sentinel-999 ordering (extractor.py:211-214: ``or 999``, so 0 and
     NULL both sort as 999) and a per-turn ``seq`` for exact list
     comparisons."""
-    sentinel = F.when(
-        F.col("question_number").isNull() | (F.col("question_number") == 0),
-        LIMITS.missing_number_sentinel,
-    ).otherwise(F.col("question_number"))
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        sentinel, "text_order"
-    )
+    if "seq" in merged.columns:
+        # the greedy kernel already assigned the per-turn sentinel
+        # order — the whole structuring stage stays narrow
+        seq_col = F.col("seq")
+    else:
+        sentinel = F.when(
+            F.col("question_number").isNull() | (F.col("question_number") == 0),
+            LIMITS.missing_number_sentinel,
+        ).otherwise(F.col("question_number"))
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            sentinel, "text_order"
+        )
+        seq_col = F.row_number().over(w) - 1
     return merged.select(
         "conv_id",
         "turn_idx",
-        (F.row_number().over(w) - 1).alias("seq"),
+        seq_col.cast("int").alias("seq"),
         "question_number",
         qtype_col(F.col("span_text")).alias("qtype"),
         score_col(F.col("span_text")).alias("score"),
