@@ -290,3 +290,76 @@ def transcripts(spark, n_convs: int, mega_every: int = 0, partitions: int | None
 
     base = spark.range(0, n_convs, numPartitions=parts)
     return base.mapInPandas(emit, schema=schema.TRANSCRIPTS)
+
+
+# ------------------------------------------------------------- HTML pages
+ARTICLE_SENTENCES = [
+    "The committee reviewed the proposal in detail and concluded that the plan was feasible for the coming year.",
+    "Researchers found that the new method improved accuracy by a wide margin across all of the benchmark datasets.",
+    "In the second quarter the company reported steady growth in revenue and a modest increase in operating costs.",
+    "The report describes how the system processes a large volume of records in parallel with minimal coordination.",
+    "Observers noted that the policy change was likely to affect a number of industries over the following months.",
+    "An analysis of the collected samples revealed a consistent pattern that supported the original hypothesis.",
+]
+
+NAV_WORDS = ["Home", "About", "Products", "Blog", "Contact", "Login", "Search"]
+
+
+def html_page(r: random.Random) -> tuple[str, list[str]]:
+    """One deterministic HTML page; returns (html, expected main-content
+    paragraphs) — nav/header/footer/sidebar links are boilerplate."""
+    paras = [
+        " ".join(r.choice(ARTICLE_SENTENCES) for _ in range(r.randint(1, 3)))
+        for _ in range(r.randint(2, 5))
+    ]
+    nav = "".join(
+        f'<a href="/{w.lower()}">{w}</a> ' for w in r.sample(NAV_WORDS, 4)
+    )
+    side = "".join(
+        f'<li><a href="#">{r.choice(NAV_WORDS)} {r.randint(1, 99)}</a></li>'
+        for _ in range(r.randint(2, 5))
+    )
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        "<html><head><title>t</title><script>var x=1;</script></head><body>"
+        f"<header><nav>{nav}</nav></header>"
+        f"<div><ul>{side}</ul></div>"
+        f"<article><h1>{r.choice(NAV_WORDS)}</h1>{body}</article>"
+        f'<footer><a href="#">Terms</a> <a href="#">Privacy</a></footer>'
+        "</body></html>"
+    )
+    return html, paras
+
+
+def html_transcripts(spark, n_pages: int, partitions: int | None = None):
+    """Deterministic HTML-payload transcripts (conv per page)."""
+    import pandas as pd
+
+    from . import schema
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = _rng(f"html{i}", 0)
+                html, _ = html_page(r)
+                rows.append(
+                    {
+                        "conv_id": f"page{i:06d}",
+                        "turn_idx": 0,
+                        "role": "tool",
+                        "text": html,
+                        "tool": "crawler",
+                        "ts": EPOCH + dt.timedelta(seconds=i),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out["ts"] = pd.to_datetime(out["ts"], utc=True).dt.tz_localize(None)
+            yield out
+
+    return spark.range(0, n_pages, numPartitions=parts).mapInPandas(
+        emit, schema=schema.TRANSCRIPTS
+    )

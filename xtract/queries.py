@@ -1022,3 +1022,50 @@ def g10_scale_autofix(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("fixed_x2").cast("long").alias("sum_fixed_x2"),
     )
+
+
+@q(
+    "html_block_classify",
+    """
+    select label, count(*) as cnt, cast(sum(nc) as bigint) as sum_chars from (
+      select case
+               when cast(lc as double) / greatest(nc, 1) > 0.4 then 'boilerplate'
+               when nc < 20 then 'boilerplate'
+               when cast(sh as double) / greatest(nt, 1) >= 0.25 and nc >= 80 then 'good'
+               when nc >= 200 then 'good'
+               else 'boilerplate' end as label,
+             nc
+      from (
+        select length(text) as nc,
+               0 as lc,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[\\x{4e00}-\\x{9fff}]')) as nt,
+               len(regexp_extract_all(lower(text),
+                 '\\b(the|a|an|of|and|or|to|in|is|are|was|were|it|that|this|for|on|with|as|at|by|be)\\b')) as sh
+        from documents
+      )
+    ) group by label
+    """,
+)
+def html_block_classify(spark, sf_dir):
+    """HTML boilerplate-strip cross-check: wrap each document's text in
+    a real page (nav + <p>), run the actual DOM kernel + native
+    jusText-style classifier, and compare the <p> labels against
+    DuckDB recomputing the same features from the raw text."""
+    from . import html as html_mod
+
+    d = t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    tr = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        page.alias("text"),
+    )
+    blocks = html_mod.classify(html_mod.dom_blocks(tr)).filter(F.col("tag") == "p")
+    return blocks.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    )
