@@ -165,33 +165,47 @@ def _greedy_lists(sp_rows, im_rows) -> list[dict]:
 
 
 def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
-    """Pack each turn's spans and images into single rows (one shuffle
-    per side, join reuses the agg partitioning), then run the greedy
-    walk over MANY turns per Arrow batch in one mapInPandas.
+    """Pack each turn's spans and images into single rows with ONE
+    shuffle (side-tagged union + filtered collect_lists — collect_list
+    skips nulls, so each side lands in its own array), then run the
+    greedy walk over MANY turns per Arrow batch in one mapInPandas.
 
     A naive cogroup.applyInPandas would invoke Python once per turn —
     page-sized groups mean millions of per-group calls at scale; this
     formulation amortizes that to once per ~10k-row batch.
     """
-    sp = spans.groupBy("conv_id", "turn_idx").agg(
-        F.collect_list(
-            F.struct(
-                "block_pos",
-                "span_ord",
-                "question_number",
-                "span_text",
-                "bbox",
-                "split_from_merged",
-                "source_block_id",
-            )
-        ).alias("sp")
+    span_struct = F.struct(
+        "block_pos",
+        "span_ord",
+        "question_number",
+        "span_text",
+        "bbox",
+        "split_from_merged",
+        "source_block_id",
     )
-    im = images.groupBy("conv_id", "turn_idx").agg(
-        F.collect_list(
-            F.struct("img_pos", "img_id", "ix1", "iy1", "ix2", "iy2")
-        ).alias("im")
+    img_struct = F.struct("img_pos", "img_id", "ix1", "iy1", "ix2", "iy2")
+    tagged = spans.select(
+        "conv_id",
+        "turn_idx",
+        span_struct.alias("s"),
+        F.lit(None).cast(
+            "struct<img_pos:int,img_id:int,ix1:int,iy1:int,ix2:int,iy2:int>"
+        ).alias("i"),
+    ).unionByName(
+        images.select(
+            "conv_id",
+            "turn_idx",
+            F.lit(None).cast(
+                "struct<block_pos:int,span_ord:int,question_number:int,"
+                "span_text:string,bbox:array<int>,split_from_merged:boolean,"
+                "source_block_id:int>"
+            ).alias("s"),
+            img_struct.alias("i"),
+        )
     )
-    packed = sp.join(im, ["conv_id", "turn_idx"], "left")
+    packed = tagged.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list("s").alias("sp"), F.collect_list("i").alias("im")
+    )
 
     out_cols = [f.split(" ")[0] for f in MERGED_SCHEMA.split(", ")]
 
