@@ -54,9 +54,10 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=7 * doc_id),
                     }
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.TRANSCRIPTS.fields]
-            )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in schema.TRANSCRIPTS.fields]
+                )
 
     return docs.mapInPandas(to_turns, schema=schema.TRANSCRIPTS)
 

@@ -192,7 +192,8 @@ def dom_blocks(transcripts: DataFrame) -> DataFrame:
                     cols["turn_idx"].append(int(turn_idx))
                     for k, v in b.items():
                         cols[k].append(v)
-            yield pd.DataFrame(cols, columns=names)
+            if cols["conv_id"]:
+                yield pd.DataFrame(cols, columns=names)
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         kernel, schema=BLOCKS_SCHEMA

@@ -223,7 +223,8 @@ def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
                     cols["turn_idx"].append(int(turn_idx))
                     for k, v in r.items():
                         cols[k].append(v)
-            yield pd.DataFrame(cols, columns=out_cols)
+            if cols["conv_id"]:
+                yield pd.DataFrame(cols, columns=out_cols)
 
     return packed.mapInPandas(kernel, schema=MERGED_SCHEMA)
 

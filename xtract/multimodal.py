@@ -174,7 +174,8 @@ def sample_frames(media: DataFrame, every_ms: int = 5000, max_frames: int = 8) -
                     out["frame"].append(
                         hashlib.sha256(body + _struct.pack(">I", off)).digest()
                     )
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAMES)
 
@@ -205,6 +206,7 @@ def embed(media: DataFrame, dim: int = 16) -> DataFrame:
                 norm = sum(v * v for v in raw) ** 0.5 or 1.0
                 ids.append(int(mid))
                 vecs.append([float(v / norm) for v in raw])
-            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return media.mapInPandas(kernel, schema=FEATURES)

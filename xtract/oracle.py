@@ -184,7 +184,11 @@ def split_block_v1(block: dict[str, Any], lines: list[dict[str, Any]]) -> list[d
     """
     content = block.get("block_content", "")
     bbox = block.get("block_bbox", [])
-    if not content or not bbox:
+    # P2 guard, hardened: the reference checks only falsiness
+    # (question_splitter.py:51) and would crash unpacking a malformed
+    # bbox downstream (:288); we define size≠4 → pass through whole,
+    # unnumbered — identical to the Spark plans' `valid` predicate
+    if not content or len(bbox) != 4:
         return [dict(block)]
 
     matches = detect(content, "v1")
@@ -254,6 +258,8 @@ def split_block_v2(block: dict[str, Any], lines: list[dict[str, Any]]) -> list[d
     whole split (v2:134-136). No min-height clamp."""
     content = block.get("block_content", "") or ""
     bbox = block.get("block_bbox", [])
+    if not content or len(bbox) != 4:
+        return [dict(block)]
     matches = detect_v2(content)
     if not matches or len(matches) < 2:
         return [dict(block)]
@@ -536,11 +542,14 @@ def extract_turn(text: str) -> list[dict[str, Any]]:
     rows = []
     for q in merged:
         content = q.get("text_content", "")
+        # classification coalesces null text to "" (the Spark plans'
+        # qtype_col/score_col do the same); span_text keeps the null
+        safe = content or ""
         rows.append(
             {
                 "question_number": q.get("question_id"),
-                "qtype": classify_qtype(content),
-                "score": extract_score(content),
+                "qtype": classify_qtype(safe),
+                "score": extract_score(safe),
                 "span_text": content,
                 "bbox": [int(v) for v in (q.get("bbox") or [])],
                 "has_image": q["has_image"],

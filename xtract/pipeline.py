@@ -80,7 +80,8 @@ def _extract_fused(transcripts: DataFrame) -> DataFrame:
                     cols["seq"].append(seq)
                     for k, v in row.items():
                         cols[k].append(v)
-            yield pd.DataFrame(cols, columns=field_names)
+            if cols["conv_id"]:
+                yield pd.DataFrame(cols, columns=field_names)
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         kernel, schema=schema.SPANS
@@ -139,7 +140,8 @@ def analyze(transcripts: DataFrame, mode: str = "fused") -> DataFrame:
                     rows.append(
                         {"conv_id": conv_id, "turn_idx": int(turn_idx), **g}
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         kernel, schema=out_schema
