@@ -88,6 +88,26 @@ def main() -> None:
     timings["extract_fused_cold"] = round(t_cold, 3)
     timings["extract_fused"] = round(t_extract, 3)
 
+    # v2-analyzer groups + HTML boilerplate strip (fused kernels)
+    t0 = time.monotonic()
+    pipeline.analyze(tr, mode="fused").agg(F.count("*")).collect()
+    timings["analyze_fused"] = round(time.monotonic() - t0, 3)
+
+    from xtract import gen as gen_mod
+    from xtract import html as html_mod
+
+    hpath = "/tmp/xtract_bench/html_{}.parquet".format(max(500, int(20000 * sf)))
+    if not os.path.exists(os.path.join(hpath, "_SUCCESS")):
+        gen_mod.html_transcripts(spark, max(500, int(20000 * sf))).write.mode(
+            "overwrite"
+        ).parquet(hpath)
+    hr = spark.read.parquet(hpath)
+    n_pages = hr.count()
+    t0 = time.monotonic()
+    html_mod.extract_main_content(hr).agg(F.count("*")).collect()
+    t_html = time.monotonic() - t0
+    timings["html_extract"] = round(t_html, 3)
+
     # relational strategy on a capped slice (tracked, not headline)
     small = tr.filter(F.col("conv_id") < f"conv{max(200, n_convs // 10):08d}")
     t0 = time.monotonic()
@@ -113,6 +133,11 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "queries": timings,
+                "html": {
+                    "pages": n_pages,
+                    "sec": round(t_html, 3),
+                    "pages_per_sec": round(n_pages / t_html, 1),
+                },
                 "extract": {
                     "turns": n_turns,
                     "spans": int(agg["spans"]),
