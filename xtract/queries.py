@@ -1069,3 +1069,107 @@ def html_block_classify(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
     )
+
+
+@q(
+    "dedup_components",
+    """
+    with recursive edges_raw as (
+      select a.doc_id as a, b.doc_id as b from (
+        select doc_id, md5(s0 || s1) as band_key from (
+          select doc_id,
+                 list_min(list_transform(sh, x -> md5('p0' || x))) as s0,
+                 list_min(list_transform(sh, x -> md5('p1' || x))) as s1
+          from (
+            select doc_id,
+                   list_transform(range(1, greatest(length(text) - 3, 2)),
+                                  i -> text[i:i+4]) as sh
+            from documents
+          )
+        )
+      ) a join (
+        select doc_id, md5(s0 || s1) as band_key from (
+          select doc_id,
+                 list_min(list_transform(sh, x -> md5('p0' || x))) as s0,
+                 list_min(list_transform(sh, x -> md5('p1' || x))) as s1
+          from (
+            select doc_id,
+                   list_transform(range(1, greatest(length(text) - 3, 2)),
+                                  i -> text[i:i+4]) as sh
+            from documents
+          )
+        )
+      ) b using (band_key) where a.doc_id <> b.doc_id
+    ),
+    closure(a, b) as (
+      select a, b from edges_raw
+      union
+      select c.a, e.b from closure c join edges_raw e on c.b = e.a
+      where c.a <> e.b
+    )
+    select rep, cast(count(*) as bigint) as members from (
+      select a as doc, least(a, min(b)) as rep from closure group by a
+    ) group by rep having count(*) > 1
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    band graph — iterative min-label propagation in Spark (driver loop
+    to fixpoint), cross-checked against a DuckDB recursive-CTE
+    transitive closure. Output: one row per non-singleton component
+    (representative = min doc_id, size)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.substring(F.col("text"), i, 5),
+    )
+    s0 = F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit("p0"), x))))
+    s1 = F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit("p1"), x))))
+    banded = d.select("doc_id", F.md5(F.concat(s0, s1)).alias("band_key"))
+
+    a = banded.select(F.col("doc_id").alias("a"), "band_key")
+    b = banded.select(F.col("doc_id").alias("b"), "band_key")
+    edges = (
+        a.join(b, "band_key")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .cache()
+    )
+
+    # iterative min-label propagation to fixpoint (connected components)
+    labels = edges.select(F.col("a").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("lab")
+    )
+    for _ in range(30):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .groupBy(F.col("a").alias("doc2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc"] == neigh["doc2"], "left")
+            .select(
+                "doc",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            labels.withColumnRenamed("lab", "old")
+            .join(new_labels, "doc")
+            .where(F.col("old") != F.col("lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    comp = labels.groupBy(F.col("lab")).agg(
+        F.min("doc").alias("m"), F.count("*").alias("members")
+    )
+    return (
+        comp.filter(F.col("members") > 1)
+        .select(F.least("lab", "m").alias("rep"), F.col("members").cast("long"))
+    )
