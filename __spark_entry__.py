@@ -109,12 +109,24 @@ def _extraction_queries() -> dict[str, Callable]:
     def x_analyze_groups(spark, sf_dir):
         return pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
 
+    def x_pdf_extract(spark, sf_dir):
+        """PDF source arm: render seeded layout pages to real PDF
+        bytes, parse the content streams back to layout payloads
+        (xtract/pdf.py), and run the full extraction over them."""
+        from xtract import pdf
+
+        turns = pdf.pdf_to_transcripts(pdf.gen_pdf_turns(spark, 64, partitions=8))
+        return pipeline.extract(turns, mode="fused").select(
+            "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
         "x_turn_counters": x_turn_counters,
         "x_exam_info": x_exam_info,
         "x_analyze_groups": x_analyze_groups,
+        "x_pdf_extract": x_pdf_extract,
     }
 
 

@@ -1,0 +1,180 @@
+"""PDF layout-box parsing (xtract/pdf.py).
+
+Covers: content-stream lexing (literal/hex strings, escapes, TJ
+kerning arrays, Tm/'/" operators), Flate streams, BT-group block
+assembly + per-line-BT merge, label recovery, image placement boxes,
+adversarial byte payloads, and the Spark path: a seeded PDF corpus →
+pdf_to_transcripts → pipeline.extract matches the JSON-payload path
+span-for-span on numbered questions (the north-rule per-turn text
+equality, with geometry-independent fields).
+"""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from xtract import gen, pdf
+
+BLOCKS = [
+    {"block_label": "doc_title", "block_content": "2024学年期中数学试卷",
+     "block_bbox": [400, 80, 1600, 150], "block_id": 1, "block_order": 1, "group_id": 1},
+    {"block_label": "text",
+     "block_content": "1、求下列方程的解。（5分）\n2、计算三角形面积。（3分）",
+     "block_bbox": [120, 200, 1880, 304], "block_id": 2, "block_order": 2, "group_id": 2},
+    {"block_label": "image", "block_content": "",
+     "block_bbox": [500, 400, 900, 700], "block_id": 3, "block_order": 3, "group_id": 3},
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("bt_per_line", [False, True])
+def test_roundtrip_variants(compress, bt_per_line):
+    buf = pdf.make_pdf(BLOCKS, 2000, 2800, compress=compress, bt_per_line=bt_per_line)
+    p = pdf.parse_pdf_py(buf)
+    assert p is not None
+    assert p["page"] == {"width": 2000, "height": 2800}
+    assert [b["block_label"] for b in p["blocks"]] == ["doc_title", "text", "image"]
+    assert p["blocks"][0]["block_content"] == BLOCKS[0]["block_content"]
+    assert p["blocks"][1]["block_content"] == BLOCKS[1]["block_content"]
+    # image boxes are exact (cm translation/scale, no glyph estimate)
+    assert p["blocks"][2]["block_bbox"] == [500, 400, 900, 700]
+    # block ids are 1-based reading order
+    assert [b["block_id"] for b in p["blocks"]] == [1, 2, 3]
+    # real per-line geometry is emitted for the split stage
+    text_lines = [ln for ln in p["lines"] if ln["block_id"] == 2]
+    assert [ln["text"] for ln in text_lines] == BLOCKS[1]["block_content"].split("\n")
+    for ln in text_lines:
+        assert len(ln["poly"]) == 4 and ln["score"] == 1.0
+
+
+def test_seeded_corpus_fidelity():
+    """120 seeded pages: exact text-block content sequence, exact image
+    count, exact doc_title recovery."""
+    for i in range(120):
+        conv = f"pdfconv-{i // 4:05d}"
+        payload = json.loads(gen._payload_b(gen._rng(conv, i)))
+        buf = pdf.make_pdf(
+            payload["blocks"], payload["page"]["width"], payload["page"]["height"],
+            compress=(i % 3 == 0), bt_per_line=(i % 5 == 0),
+        )
+        p = pdf.parse_pdf_py(buf)
+        assert p is not None, i
+        want = [b["block_content"] for b in payload["blocks"] if b["block_content"].strip()]
+        got = [b["block_content"] for b in p["blocks"] if b["block_label"] != "image"]
+        assert want == got, i
+        assert sum(b["block_label"] == "image" for b in payload["blocks"]) == sum(
+            b["block_label"] == "image" for b in p["blocks"]
+        ), i
+        assert [b["block_content"] for b in payload["blocks"] if b["block_label"] == "doc_title"] == [
+            b["block_content"] for b in p["blocks"] if b["block_label"] == "doc_title"
+        ], i
+
+
+def test_string_escapes_and_operators():
+    """Hand-built content stream: escapes, hex strings, TJ kerning,
+    Tm positioning, ' newline-show — constructs the writer never emits
+    but real PDFs do."""
+    content = (
+        b"BT /F1 12 Tf 14.4 TL 72 700 Td "
+        b"(paren \\( close \\) back\\\\slash octal:\\101) Tj ET\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 650 Tm [(ker) 50 (ned)] TJ ET\n"
+        b"BT /F1 12 Tf 14.4 TL 72 600 Td (first) Tj (second) ' ET\n"
+        b"BT /F1 12 Tf 72 550 Td <48692100> Tj ET\n"
+    )
+    buf = b"%PDF-1.4\n1 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n" + (
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    p = pdf.parse_pdf_py(buf)
+    assert p is not None
+    texts = [b["block_content"] for b in p["blocks"]]
+    assert "paren ( close ) back\\slash octal:A" in texts
+    assert "kerned" in texts  # TJ numbers adjust x, strings concatenate
+    assert "first\nsecond" in texts  # ' = newline + show inside one BT
+    assert "Hi!\x00" in texts or "Hi!" in texts  # hex string decode
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"not a pdf at all",
+        b"%PDF-1.4\nno streams here",
+        b"%PDF-1.4\nstream\nBT (unterminated",
+        b"%PDF-1.4\n<< /Filter /FlateDecode /Length 10 >>\nstream\n\xff\xfe\xfd\xfc\xfb\xfa\x00\x01\x02\x03\nendstream\n",
+        b"%PDF-1.4\n<< /MediaBox [0 0 -5 -5] >>\nstream\nBT /F1 12 Tf (x) Tj ET\nendstream\n",
+    ],
+)
+def test_adversarial_payloads(payload):
+    """Malformed bytes never raise; they parse to None or to a defined
+    best-effort payload."""
+    out = pdf.parse_pdf_py(payload)
+    assert out is None or isinstance(out, dict)
+
+
+def test_truncated_real_pdf_is_safe():
+    buf = pdf.make_pdf(BLOCKS, 2000, 2800)
+    for cut in (10, 100, len(buf) // 2, len(buf) - 5):
+        out = pdf.parse_pdf_py(buf[:cut])
+        assert out is None or isinstance(out, dict)
+
+
+def test_spark_pdf_path_matches_oracle(spark):
+    """North-rule invariant over the PDF source: the distributed
+    relational plan fed by rendered PDFs equals the single-node oracle
+    run on the same parsed payloads, span for span, per turn. (The
+    relational plan is an independent implementation of the split/
+    merge/structure operators, so this exercises writer → parser →
+    Spark plumbing → operator parity end-to-end. The JSON fixture path
+    is NOT byte-comparable here by design: payload_b carries random
+    OCR-line scores on 60% of blocks, while the PDF parse emits
+    score-1.0 lines for every block, and locate_v1 is score-sensitive
+    — see oracle.locate_v1 / question_splitter.py:242-275.)"""
+    from xtract import oracle, pipeline
+
+    n = 24
+    pdf_turns = pdf.gen_pdf_turns(spark, n, partitions=4)
+    transcripts = pdf.pdf_to_transcripts(pdf_turns)
+    via_spark = pipeline.extract(transcripts, mode="relational")
+
+    payloads = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert len(payloads) == n  # every rendered page parsed
+
+    want = {}
+    for (conv, turn), text in payloads.items():
+        rows = oracle.extract_turn(text)
+        want[(conv, turn)] = [
+            (r["question_number"], r["span_text"], r["qtype"], r["score"], tuple(r["bbox"] or []))
+            for r in rows
+        ]
+
+    got: dict = {}
+    for r in via_spark.collect():
+        got.setdefault((r.conv_id, r.turn_idx), []).append(
+            (r.seq, (r.question_number, r.span_text, r.qtype, r.score, tuple(r.bbox or [])))
+        )
+    got = {k: [v for _, v in sorted(vals)] for k, vals in got.items()}
+
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], f"turn {key}"
+
+
+def test_read_pdfs_binary_source(spark, tmp_path):
+    """Directory-of-PDFs source: binaryFile scan → transcripts rows."""
+    payload = json.loads(gen._payload_b(gen._rng("c", 0)))
+    (tmp_path / "page1.pdf").write_bytes(
+        pdf.make_pdf(payload["blocks"], payload["page"]["width"], payload["page"]["height"])
+    )
+    (tmp_path / "junk.pdf").write_bytes(b"not a pdf")
+    df = pdf.read_pdfs(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].conv_id == "page1.pdf"
+    blocks = json.loads(rows[0].text)["blocks"]
+    assert [b["block_content"] for b in blocks if b["block_label"] != "image"] == [
+        b["block_content"] for b in payload["blocks"] if b["block_content"].strip()
+    ]
