@@ -26,9 +26,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--input",
         required=True,
-        help="transcripts parquet path, or gen:<n_convs> for synthetic input",
+        help=(
+            "transcripts parquet path, table:<catalog.db.name> for an "
+            "Iceberg/catalog table, gen:<n_convs> for synthetic input, "
+            "or pdf:<dir> for a directory of PDF pages"
+        ),
     )
-    ap.add_argument("--output", required=True, help="output parquet path for spans")
+    ap.add_argument(
+        "--output",
+        required=True,
+        help="span sink: parquet path or table:<catalog.db.name>",
+    )
     ap.add_argument(
         "--mode",
         default="fused",
@@ -54,16 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
     args = ap.parse_args(argv)
 
-    from xtract import gen, pipeline, session
+    from xtract import catalog, gen, pipeline, session
 
     spark = session.build(app="xtract-job", shuffle_partitions=args.partitions)
     t0 = time.monotonic()
 
     if args.input.startswith("gen:"):
         df = gen.transcripts(spark, int(args.input[4:]), partitions=args.partitions)
-    else:
-        df = spark.read.parquet(args.input)
+    elif args.input.startswith("pdf:"):
+        from xtract import pdf
 
+        df = pdf.read_pdfs(spark, args.input[4:])
+    else:
+        df = catalog.read_ref(spark, args.input)
+
+    if args.checkpoint and catalog.is_table_ref(args.output):
+        ap.error(
+            "--checkpoint uses parquet dynamic-partition-overwrite; "
+            "give --output a parquet path (the lineage sidecar itself "
+            "is the table analogue)"
+        )
     if args.checkpoint:
         from xtract import ckpt
 
@@ -78,18 +96,19 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         spans = pipeline.extract(df, mode=args.mode, merge=args.merge)
-        spans.write.mode("overwrite").parquet(args.output)
+        catalog.write_ref(spans, args.output)
         result = {"partitions_done": None}
 
     n_turns = df.count()
-    n_spans = spark.read.parquet(args.output).count()
+    n_spans = catalog.count_ref(spark, args.output)
 
     if args.exam_info:
-        pipeline.exam_info(df).write.mode("overwrite").parquet(args.exam_info)
+        catalog.write_ref(pipeline.exam_info(df), args.exam_info)
     if args.stats:
-        pipeline.conversation_stats(
-            spark.read.parquet(args.output)
-        ).write.mode("overwrite").parquet(args.stats)
+        catalog.write_ref(
+            pipeline.conversation_stats(catalog.read_ref(spark, args.output)),
+            args.stats,
+        )
 
     wall = time.monotonic() - t0
     print(

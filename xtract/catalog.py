@@ -1,0 +1,106 @@
+"""Table IO abstraction: Iceberg when a catalog is present, parquet
+otherwise.
+
+The north rule targets "Iceberg tables of multi-turn transcripts" at
+10^12-turn scale; this sandbox ships no Iceberg runtime jar, so every
+read/write in the engine goes through this module instead of hardcoding
+either format:
+
+- ``ref`` syntax: ``table:<catalog.db.name>`` → catalog table
+  (Iceberg on a real deployment); anything else → parquet path.
+- ``iceberg_available`` probes the JVM for the Iceberg SparkCatalog
+  class at runtime — no import-time failure, no jar assumption.
+- ``configure_iceberg`` returns the exact session confs a production
+  launch adds (``spark-submit --packages org.apache.iceberg:…`` +
+  these confs); kept here so the deployment recipe is code, not docs.
+- Writes to table refs create bucketed tables (``bucket(N, conv_id)``)
+  — the partition strategy the rest of the engine assumes: per-conv
+  grouping is a local (bucket-pruned) operation, and the sidecar
+  lineage table commits atomically per partition (generalizing the
+  reference's md5-keyed pickle cache, question_merger.py:568-609).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+DEFAULT_BUCKETS = 1024  # conv_id buckets for span/transcript tables
+
+
+def is_table_ref(ref: str) -> bool:
+    return ref.startswith("table:")
+
+
+def table_name(ref: str) -> str:
+    if not is_table_ref(ref):
+        raise ValueError(f"not a table ref: {ref!r}")
+    name = ref[len("table:") :]
+    if not name:
+        raise ValueError("empty table name")
+    return name
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe needs the JVM
+        jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def configure_iceberg(builder, catalog: str = "local", warehouse: str = "/tmp/warehouse"):
+    """Session confs for a Hadoop-catalog Iceberg deployment. Apply to
+    a SparkSession.builder BEFORE getOrCreate; requires the Iceberg
+    runtime jar (``--packages org.apache.iceberg:iceberg-spark-runtime-
+    <spark_ver>:<ver>`` on spark-submit)."""
+    return (
+        builder.config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config(f"spark.sql.catalog.{catalog}", ICEBERG_CATALOG_CLASS)
+        .config(f"spark.sql.catalog.{catalog}.type", "hadoop")
+        .config(f"spark.sql.catalog.{catalog}.warehouse", warehouse)
+    )
+
+
+def read_ref(spark: SparkSession, ref: str) -> DataFrame:
+    """``table:`` ref → catalog table; else parquet path."""
+    if is_table_ref(ref):
+        return spark.read.table(table_name(ref))
+    return spark.read.parquet(ref)
+
+
+def write_ref(
+    df: DataFrame,
+    ref: str,
+    mode: str = "overwrite",
+    bucket_col: str | None = "conv_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """``table:`` ref → Iceberg ``writeTo`` (createOrReplace with
+    conv_id bucketing / append); else parquet with the same mode.
+
+    Bucketing by conv_id is the scale contract: spans and transcripts
+    co-partition, so per-conversation joins and ordered-window stages
+    read co-located buckets instead of shuffling 10^12 rows.
+    """
+    if not is_table_ref(ref):
+        df.write.mode(mode).parquet(ref)
+        return
+    name = table_name(ref)
+    if mode == "append":
+        df.writeTo(name).append()
+        return
+    w = df.writeTo(name).using("iceberg")
+    if bucket_col is not None and bucket_col in df.columns:
+        from pyspark.sql.functions import partitioning
+
+        w = w.partitionedBy(partitioning.bucket(n_buckets, bucket_col))
+    w.createOrReplace()
+
+
+def count_ref(spark: SparkSession, ref: str) -> int:
+    return read_ref(spark, ref).count()
