@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "emb_cosine_top5",
     "ngram_jaccard_pairs",
     "tumbling_1h",
+    "fp_winnow",
 ]
 
 

@@ -135,6 +135,54 @@ def main() -> None:
     checks.append(("a1 partial agg", p.count("HashAggregate") >= 2))
     checks.append(("a1 filter pushdown", "PushedFilters: [IsNotNull(l_shipdate)" in p))
 
+    # ---- PDF source path: parse + extract stays narrow ---------------
+    from xtract import pdf as pdf_mod
+
+    pdf_spans = pipeline.extract(
+        pdf_mod.pdf_to_transcripts(pdf_mod.gen_pdf_turns(spark, 8, partitions=2)),
+        mode="fused",
+    )
+    p = plan_of(pdf_spans)
+    sections.append(
+        (
+            "PDF source → extraction (gen → parse → extract)",
+            p,
+            [
+                "ZERO `Exchange` operators: PDF byte parsing and span extraction "
+                "compose as consecutive narrow mapInPandas stages — a directory of "
+                "10^9 PDFs scales exactly like the transcript path.",
+            ],
+        )
+    )
+    checks.append(("pdf path has no Exchange", "Exchange" not in p))
+
+    # ---- fingerprint kernel: narrow, column-pruned scan --------------
+    from xtract import fingerprint as fpm
+
+    fps = fpm.fingerprints(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    p = plan_of(fps)
+    sections.append(
+        (
+            "Winnowing fingerprints (documents scan → kernel)",
+            p,
+            [
+                "Narrow kernel; `ReadSchema` prunes the documents scan to "
+                "doc_id/text only.",
+            ],
+        )
+    )
+    checks.append(("fingerprint kernel has no Exchange", "Exchange" not in p))
+    checks.append(
+        (
+            "fingerprint scan prunes to doc_id/text",
+            "lang" not in p.split("ReadSchema")[1].splitlines()[0]
+            if "ReadSchema" in p
+            else False,
+        )
+    )
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",

@@ -1,0 +1,149 @@
+"""Document fingerprinting: k-gram rolling hash + winnowing.
+
+The winnowing scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+algorithm): hash every k-gram of the document, slide a window of w
+consecutive hashes, keep each window's minimum; the resulting
+fingerprint set has the guarantee that any substring match of length
+≥ k+w-1 between two documents produces at least one shared
+fingerprint. This is the "document fingerprinting (rolling hash)"
+arm of the training-data dedup toolkit (complements exact-hash,
+MinHash/LSH, SimHash, n-gram Jaccard in similarity.py/queries.py).
+
+Hash is a plain base-B polynomial over unicode codepoints mod M —
+deliberately simple so the SAME function is expressible in DuckDB SQL
+(driver oracle queries fp_winnow / fp_shared_pairs) and the Arrow
+kernel can be cross-validated against an independent engine.
+
+Scale shape: the kernel is a narrow mapInPandas (numpy Horner over a
+codepoint array — k vectorized passes per batch, no per-char Python);
+per-doc output is the distinct fingerprint set, ~len/w values.
+shared_pairs is then a fingerprint-key equi-join + count — the classic
+inverted-index shape that shuffles |fp| rows, not |doc|² pairs.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+K = 8  # k-gram length (chars)
+W = 4  # winnowing window (hashes)
+B = 131  # polynomial base
+M = 1_000_000_007  # modulus (fits intermediate math in int64/BIGINT)
+CAP = 2000  # chars hashed per doc (both engines apply the same cap)
+
+POW_MOD = [pow(B, K - 1 - j, M) for j in range(K)]  # B^(k-1-j) % M
+
+
+def fingerprints_naive(text: str) -> list[int]:
+    """Reference implementation (pure Python, O(len·k)) — the local
+    oracle for the vectorized kernel."""
+    t = (text or "")[:CAP]
+    n = len(t)
+    if n < K + W - 1:
+        return []
+    hashes = []
+    for p in range(n - K + 1):
+        h = 0
+        for j in range(K):
+            h = (h + ord(t[p + j]) * POW_MOD[j]) % M
+        hashes.append(h)
+    sel = set()
+    for s in range(len(hashes) - W + 1):
+        sel.add(min(hashes[s : s + W]))
+    return sorted(sel)
+
+
+def fingerprints_np(text: str) -> np.ndarray:
+    """Vectorized winnowing: k Horner passes over the codepoint array,
+    then a w-way minimum reduce. int64 throughout (max intermediate
+    M·B + 0x110000 < 2^63)."""
+    t = (text or "")[:CAP]
+    n = len(t)
+    if n < K + W - 1:
+        return np.empty(0, dtype=np.int64)
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    npos = n - K + 1
+    h = np.zeros(npos, dtype=np.int64)
+    for j in range(K):
+        h = (h * B + cp[j : j + npos]) % M
+    sel = h[: npos - W + 1].copy()
+    for s in range(1, W):
+        np.minimum(sel, h[s : s + npos - W + 1], out=sel)
+    return np.unique(sel)
+
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → one row per distinct winnowed fingerprint. Narrow
+    kernel, no shuffle; column pruning pushes to the scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[np.ndarray] = []
+            fps: list[np.ndarray] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                f = fingerprints_np(text)
+                if len(f):
+                    ids.append(np.full(len(f), int(doc_id), dtype=np.int64))
+                    fps.append(f)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(kernel, schema=FP_SCHEMA)
+
+
+def winnow_summary(fps: DataFrame) -> DataFrame:
+    """Per-doc fingerprint digest (count / min / max / sum) — compact,
+    deterministic, hashable cross-engine."""
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum("fp").cast("long").alias("fp_sum"),
+    )
+
+
+def shared_pairs(
+    fps: DataFrame, min_shared: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup candidates: pairs of docs sharing ≥ min_shared
+    fingerprints. Equi-join on fp (inverted index), so cost scales
+    with fingerprint collisions, not doc pairs. ``max_df`` drops
+    stop-gram fingerprints (those occurring in more than max_df docs)
+    before the self-join — the standard guard that keeps the join
+    skew-free on a boilerplate-heavy corpus: a fingerprint in d docs
+    otherwise contributes d² pairs."""
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

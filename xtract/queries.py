@@ -1173,3 +1173,83 @@ def dedup_components(spark, sf_dir):
         comp.filter(F.col("members") > 1)
         .select(F.least("lab", "m").alias("rep"), F.col("members").cast("long"))
     )
+
+
+# =====================================================================
+# Document fingerprinting — k-gram rolling hash + winnowing
+# (fingerprint.py; the Arrow kernel is cross-validated here against an
+# explicit SQL restatement of the same polynomial-hash + window-min)
+# =====================================================================
+def _fp_cte() -> str:
+    from . import fingerprint as fpm
+
+    pw_values = ", ".join(f"({j}, {p})" for j, p in enumerate(fpm.POW_MOD))
+    return f"""
+    with docs as (
+      select doc_id, substr(text, 1, {fpm.CAP}) as t
+      from documents
+      where length(substr(text, 1, {fpm.CAP})) >= {fpm.K + fpm.W - 1}
+    ),
+    pw(j, pm) as (values {pw_values}),
+    kg as (
+      select d.doc_id, g.p,
+             cast(sum(cast(unicode(substr(d.t, g.p + pw.j, 1)) as bigint)
+                      * cast(pw.pm as bigint)) % {fpm.M} as bigint) as h
+      from docs d
+      join generate_series(1, {fpm.CAP}) as g(p)
+        on g.p <= length(d.t) - {fpm.K - 1}
+      cross join pw
+      group by d.doc_id, g.p
+    ),
+    win as (
+      select doc_id, p,
+             min(h) over (partition by doc_id order by p
+                          rows between current row and {fpm.W - 1} following) as mh,
+             count(*) over (partition by doc_id) as np
+      from kg
+    ),
+    fp as (
+      select distinct doc_id, mh as fp from win where p <= np - {fpm.W - 1}
+    )"""
+
+
+@q(
+    "fp_winnow",
+    _fp_cte()
+    + """
+    select doc_id, cast(count(*) as bigint) as n_fp,
+           cast(min(fp) as bigint) as fp_min,
+           cast(max(fp) as bigint) as fp_max,
+           cast(sum(fp) as bigint) as fp_sum
+    from fp group by doc_id
+    """,
+)
+def fp_winnow(spark, sf_dir):
+    """Winnowing fingerprint digest per document (rolling-hash
+    fingerprinting arm of the dedup toolkit)."""
+    from . import fingerprint as fpm
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fpm.winnow_summary(fpm.fingerprints(docs))
+
+
+@q(
+    "fp_shared_pairs",
+    _fp_cte()
+    + """
+    , keep as (select fp from fp group by fp having count(distinct doc_id) <= 20)
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           cast(count(*) as bigint) as n_shared
+    from fp a join fp b on a.fp = b.fp and a.doc_id < b.doc_id
+    where a.fp in (select fp from keep)
+    group by 1, 2 having count(*) >= 4
+    """,
+)
+def fp_shared_pairs(spark, sf_dir):
+    """Near-dup candidate pairs via shared winnowed fingerprints
+    (inverted-index equi-join — |fp| shuffle rows, not |doc|^2;
+    stop-gram fingerprints with doc-frequency > 20 dropped first)."""
+    from . import fingerprint as fpm
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fpm.shared_pairs(fpm.fingerprints(docs), min_shared=4, max_df=20)
