@@ -109,6 +109,23 @@ def main() -> None:
     t_html = time.monotonic() - t0
     timings["html_extract"] = round(t_html, 3)
 
+    # PDF source path: content-stream parse + extraction (fused)
+    from xtract import pdf as pdf_mod
+
+    n_pdfs = max(400, int(8000 * sf))
+    ppath = f"/tmp/xtract_bench/pdfs_{n_pdfs}.parquet"
+    if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
+        pdf_mod.gen_pdf_turns(spark, n_pdfs, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(ppath)
+    pr = spark.read.parquet(ppath)
+    t0 = time.monotonic()
+    pipeline.extract(pdf_mod.pdf_to_transcripts(pr), mode="fused").agg(
+        F.count("*")
+    ).collect()
+    t_pdf = time.monotonic() - t0
+    timings["pdf_extract"] = round(t_pdf, 3)
+
     # relational strategy on a capped slice (tracked, not headline)
     small = tr.filter(F.col("conv_id") < f"conv{max(200, n_convs // 10):08d}")
     t0 = time.monotonic()
@@ -138,6 +155,11 @@ def main() -> None:
                     "pages": n_pages,
                     "sec": round(t_html, 3),
                     "pages_per_sec": round(n_pages / t_html, 1),
+                },
+                "pdf": {
+                    "pages": n_pdfs,
+                    "sec": round(t_pdf, 3),
+                    "pages_per_sec": round(n_pdfs / t_pdf, 1),
                 },
                 "extract": {
                     "turns": n_turns,
