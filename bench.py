@@ -123,6 +123,9 @@ def main() -> None:
     pipeline.extract(pdf_mod.pdf_to_transcripts(pr), mode="fused").agg(
         F.count("*")
     ).collect()
+    timings["pdf_extract_staged"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    pdf_mod.extract_pdf_turns(pr).agg(F.count("*")).collect()
     t_pdf = time.monotonic() - t0
     timings["pdf_extract"] = round(t_pdf, 3)
 

@@ -164,6 +164,25 @@ def test_spark_pdf_path_matches_oracle(spark):
         assert got[key] == want[key], f"turn {key}"
 
 
+def test_fused_pdf_kernel_matches_two_stage(spark):
+    """extract_pdf_turns (single kernel, no JSON round-trip) is
+    row-identical to pipeline.extract(pdf_to_transcripts(...))."""
+    from xtract import pipeline
+
+    turns = pdf.gen_pdf_turns(spark, 16, partitions=4)
+
+    def key(df):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.seq, r.question_number, r.span_text,
+             tuple(r.bbox or []), r.qtype, r.score, tuple(r.image_ids or []))
+            for r in df.collect()
+        )
+
+    fused = key(pdf.extract_pdf_turns(turns))
+    staged = key(pipeline.extract(pdf.pdf_to_transcripts(turns), mode="fused"))
+    assert fused == staged and len(fused) > 0
+
+
 def test_read_pdfs_binary_source(spark, tmp_path):
     """Directory-of-PDFs source: binaryFile scan → transcripts rows."""
     payload = json.loads(gen._payload_b(gen._rng("c", 0)))

@@ -522,7 +522,13 @@ def parse_payload(text: str) -> dict[str, Any]:
 def extract_turn(text: str) -> list[dict[str, Any]]:
     """Full per-turn pipeline (extractor.py:36-136 production flow),
     returning FIXTURES.md §4 span rows (minus conv/turn keys)."""
-    payload = parse_payload(text)
+    return extract_payload(parse_payload(text))
+
+
+def extract_payload(payload: dict[str, Any]) -> list[dict[str, Any]]:
+    """extract_turn on an already-parsed payload dict — lets sources
+    that materialize payloads natively (e.g. the PDF content-stream
+    parser) skip the JSON round-trip."""
     blocks = payload["blocks"]
     lines_by_block: dict[int, list] = {}
     for ln in payload["lines"]:

@@ -636,6 +636,41 @@ def pdf_to_transcripts(pdfs: DataFrame) -> DataFrame:
     return pdfs.mapInPandas(kernel, schema=schema.TRANSCRIPTS)
 
 
+def extract_pdf_turns(pdfs: DataFrame) -> DataFrame:
+    """Fused PDF → spans: parse the content stream and run the full
+    per-turn extraction in ONE kernel, handing the payload dict to the
+    extractor directly (no intermediate JSON serialization, one Arrow
+    stage instead of two). Same results as
+    ``pipeline.extract(pdf_to_transcripts(pdfs))`` — pinned by
+    tests/test_pdf.py — at roughly half the per-page overhead."""
+    from . import oracle, schema as schema_mod
+
+    field_names = [f.name for f in schema_mod.SPANS.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            cols: dict[str, list] = {name: [] for name in field_names}
+            for conv_id, turn_idx, buf in zip(
+                pdf_batch["conv_id"], pdf_batch["turn_idx"], pdf_batch["payload"]
+            ):
+                payload = parse_pdf_py(bytes(buf) if buf is not None else b"")
+                if payload is None:
+                    continue
+                turn_idx = int(turn_idx)
+                for seq, row in enumerate(oracle.extract_payload(payload)):
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(turn_idx)
+                    cols["seq"].append(seq)
+                    for k, v in row.items():
+                        cols[k].append(v)
+            if cols["conv_id"]:
+                yield pd.DataFrame(cols, columns=field_names)
+
+    return pdfs.select("conv_id", "turn_idx", "payload").mapInPandas(
+        kernel, schema=schema_mod.SPANS
+    )
+
+
 def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
     """Directory/glob of .pdf files → transcripts-shaped rows
     (binaryFile source; conv_id = file name, turn_idx = 0)."""
