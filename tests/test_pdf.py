@@ -197,3 +197,38 @@ def test_read_pdfs_binary_source(spark, tmp_path):
     assert [b["block_content"] for b in blocks if b["block_label"] != "image"] == [
         b["block_content"] for b in payload["blocks"] if b["block_content"].strip()
     ]
+
+
+def test_mutation_fuzz_never_raises():
+    """Byte-level mutation fuzz: corrupt valid PDFs at random offsets
+    (seeded) — the parser must return None or a well-formed payload,
+    never raise. Covers lexer/interpreter/assembly error paths the
+    structured adversarial cases miss."""
+    import random
+
+    rng = random.Random(20260817)
+    base = []
+    for i in range(4):
+        payload = json.loads(gen._payload_b(gen._rng("fz", i)))
+        base.append(
+            pdf.make_pdf(
+                payload["blocks"], payload["page"]["width"], payload["page"]["height"],
+                compress=(i % 2 == 0),
+            )
+        )
+    for trial in range(400):
+        buf = bytearray(base[trial % len(base)])
+        for _ in range(rng.randint(1, 8)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(buf))
+            if op == 0:
+                buf[pos] = rng.randrange(256)
+            elif op == 1:
+                del buf[pos : pos + rng.randint(1, 40)]
+            else:
+                buf[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 20)))
+        out = pdf.parse_pdf_py(bytes(buf))
+        if out is not None:
+            assert isinstance(out, dict) and "blocks" in out and "lines" in out
+            for b in out["blocks"]:
+                assert len(b["block_bbox"]) == 4

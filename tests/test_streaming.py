@@ -88,3 +88,40 @@ def test_running_totals_state(spark, tdir):
         for r in pipeline.conversation_stats(spans).collect()
     }
     assert got == exp
+
+
+def test_pdf_stream_matches_batch(spark, tmp_path):
+    """Streaming PDF ingestion (binaryFile file-watch → fused
+    parse+extract) drains to the same spans the batch path produces."""
+    import json
+
+    from xtract import gen, pdf
+
+    pdir = tmp_path / "pdfs"
+    pdir.mkdir()
+    for i in range(6):
+        payload = json.loads(gen._payload_b(gen._rng("sc", i)))
+        (pdir / f"p{i}.pdf").write_bytes(
+            pdf.make_pdf(
+                payload["blocks"],
+                payload["page"]["width"],
+                payload["page"]["height"],
+                compress=(i % 2 == 0),
+            )
+        )
+    out = str(tmp_path / "spans")
+    stream = streaming.read_pdf_stream(spark, str(pdir))
+    assert stream.isStreaming
+    streaming.run_to_parquet(stream, out, str(tmp_path / "ck_pdf"))
+
+    got = {
+        (r.conv_id, r.seq, r.question_number, r.span_text)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.conv_id, r.seq, r.question_number, r.span_text)
+        for r in pdf.read_pdfs(spark, str(pdir))
+        .transform(lambda df: __import__("xtract.pipeline", fromlist=["extract"]).extract(df))
+        .collect()
+    }
+    assert got == want and len(got) > 0

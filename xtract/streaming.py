@@ -113,6 +113,36 @@ def running_totals(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def read_pdf_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming PDF ingestion: watch a directory for new .pdf files
+    and emit spans continuously — the fused parse+extract kernel is
+    stateless, so it lifts to streaming unchanged (the arriving-crawl
+    shape: extraction keeps up with the crawler instead of batching
+    behind it)."""
+    from . import pdf
+
+    binary_file = T.StructType(
+        [
+            T.StructField("path", T.StringType(), True),
+            T.StructField("modificationTime", T.TimestampType(), True),
+            T.StructField("length", T.LongType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file)
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return pdf.extract_pdf_turns(raw)
+
+
 def run_to_parquet(
     stream_df: DataFrame, output_path: str, checkpoint: str
 ) -> None:
