@@ -120,6 +120,15 @@ def _extraction_queries() -> dict[str, Callable]:
             "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
         )
 
+    def x_assemble(spark, sf_dir):
+        """Cross-turn continuation merge over extracted spans (the
+        multi-page question case the single-page reference cannot
+        handle; xtract/assemble.py, parity in tests/test_assemble.py)."""
+        from xtract import assemble
+
+        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
+        return assemble.merge_continuations(spans)
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -127,6 +136,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_exam_info": x_exam_info,
         "x_analyze_groups": x_analyze_groups,
         "x_pdf_extract": x_pdf_extract,
+        "x_assemble": x_assemble,
     }
 
 

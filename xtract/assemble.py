@@ -1,0 +1,170 @@
+"""Cross-turn span assembly: merge question spans that a page break
+split across consecutive turns of one conversation.
+
+The reference processes one page at a time and cannot see page-break
+continuations (its multi-question detection is warn-only across pages,
+…vl_ocr.py:877-899, defect documented in
+docs/试卷切题问题分析与优化方案.md:10-19). Over the transcripts table a
+conversation IS the multi-page document, so the north rule's
+"window-over-(conv_id, turn_idx) ordering … before span merge" gets a
+real cross-turn operator:
+
+**Continuation rule** (deterministic, pinned by tests): span S
+continues its predecessor P (in (turn_idx, seq) order within the
+conversation) iff
+  - S is the first span of its turn (seq == 0), and
+  - S carries no question number (an unnumbered leading block), and
+  - P is from exactly the previous turn (turn_idx - 1), and
+  - P's text does not end with terminal punctuation or a closing
+    bracket (。？！；?!;.）)】]) — a "（5分）" score marker closes a
+    question even without a final period.
+Chains merge transitively (a question split over 3+ pages).
+
+Spark shape: one window over partitionBy(conv_id) orderBy(turn_idx,
+seq) producing a lag-based continuation flag, a running-sum segment id
+(gaps-and-islands, same shape as W6), then a groupBy ordered concat
+(same shape as A1). Rows per conversation ≈ spans, so a mega
+conversation holds ~3×turns small rows in one task — bounded and
+documented (skew.py salting applies to the *extraction* stages; this
+final assembly is inherently per-conversation-ordered).
+
+Type/score are re-derived from the merged text (structure.qtype_col /
+score_col semantics) — a continuation can complete the "（5分）" marker
+that the head page lacked.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+TERMINAL = "。？！；?!;.）)】\\]"
+_TERMINAL_RE = re.compile(r"[。？！；?!;.）)】\]]\s*$")
+
+
+def _is_open(text: str | None) -> bool:
+    """True if the span text looks cut off (no terminal punctuation).
+    Empty/whitespace-only predecessors are not open (nothing to
+    continue)."""
+    if not text or not text.strip():
+        return False
+    return not _TERMINAL_RE.search(text)
+
+
+ASSEMBLED = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("segment", T.IntegerType(), False),
+        T.StructField("turn_first", T.IntegerType(), False),
+        T.StructField("turn_last", T.IntegerType(), False),
+        T.StructField("question_number", T.IntegerType(), True),
+        T.StructField("qtype", T.StringType(), False),
+        T.StructField("score", T.IntegerType(), False),
+        T.StructField("span_text", T.StringType(), True),
+        T.StructField("n_parts", T.IntegerType(), False),
+    ]
+)
+
+
+def merge_continuations_py(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Single-conversation oracle. ``rows`` are span dicts with
+    turn_idx/seq/question_number/span_text, any order."""
+    from . import oracle
+
+    ordered = sorted(rows, key=lambda r: (r["turn_idx"], r["seq"]))
+    segments: list[list[dict[str, Any]]] = []
+    for r in ordered:
+        prev = segments[-1][-1] if segments else None
+        cont = (
+            prev is not None
+            and r["seq"] == 0
+            and r["question_number"] is None
+            and r["turn_idx"] == prev["turn_idx"] + 1
+            and _is_open(prev["span_text"])
+        )
+        if cont:
+            segments[-1].append(r)
+        else:
+            segments.append([r])
+    out = []
+    for i, seg in enumerate(segments):
+        text = "\n".join(p["span_text"] or "" for p in seg) if len(seg) > 1 else seg[0]["span_text"]
+        safe = text or ""
+        out.append(
+            {
+                "segment": i,
+                "turn_first": seg[0]["turn_idx"],
+                "turn_last": seg[-1]["turn_idx"],
+                "question_number": seg[0]["question_number"],
+                "qtype": oracle.classify_qtype(safe),
+                "score": oracle.extract_score(safe),
+                "span_text": text,
+                "n_parts": len(seg),
+            }
+        )
+    return out
+
+
+def merge_continuations(spans: DataFrame) -> DataFrame:
+    """Distributed cross-turn assembly over schema.SPANS rows."""
+    from . import structure
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "seq")
+    prev_turn = F.lag("turn_idx").over(w)
+    prev_text = F.lag("span_text").over(w)
+    continuation = (
+        prev_turn.isNotNull()
+        & (F.col("seq") == 0)
+        & F.col("question_number").isNull()
+        & (F.col("turn_idx") == prev_turn + 1)
+        & prev_text.isNotNull()
+        & (F.length(F.trim(prev_text)) > 0)
+        & ~prev_text.rlike(f"[{TERMINAL}]\\s*$")
+    )
+    flagged = spans.select(
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "question_number",
+        "span_text",
+        F.sum(F.when(continuation, 0).otherwise(1)).over(w).alias("seg1"),
+    )
+    parts = flagged.groupBy("conv_id", (F.col("seg1") - 1).alias("segment")).agg(
+        F.min("turn_idx").alias("turn_first"),
+        F.max("turn_idx").alias("turn_last"),
+        F.count("*").cast("int").alias("n_parts"),
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "seq", "span_text", "question_number"))
+        ).alias("ps"),
+    )
+    text = F.when(
+        F.col("n_parts") > 1,
+        F.array_join(
+            F.transform(F.col("ps"), lambda s: F.coalesce(s["span_text"], F.lit(""))),
+            "\n",
+        ),
+    ).otherwise(F.element_at(F.col("ps"), 1)["span_text"])
+    merged = parts.select(
+        "conv_id",
+        F.col("segment").cast("int"),
+        "turn_first",
+        "turn_last",
+        F.element_at(F.col("ps"), 1)["question_number"].alias("question_number"),
+        text.alias("span_text"),
+        "n_parts",
+    )
+    safe = F.coalesce(F.col("span_text"), F.lit(""))
+    return merged.select(
+        "conv_id",
+        "segment",
+        "turn_first",
+        "turn_last",
+        "question_number",
+        structure.qtype_col(safe).alias("qtype"),
+        structure.score_col(safe).alias("score"),
+        "span_text",
+        "n_parts",
+    ).select([f.name for f in ASSEMBLED.fields])

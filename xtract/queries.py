@@ -1253,3 +1253,59 @@ def fp_shared_pairs(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return fpm.shared_pairs(fpm.fingerprints(docs), min_shared=4, max_df=20)
+
+
+# =====================================================================
+# W8 — cross-page continuation merge (assemble.py operator shape):
+# lag flag → running-sum islands → per-segment rollup, both engines
+# =====================================================================
+_TERM_RE = r"[。？！；?!;.）)】\\]]\\s*$"
+
+
+@q(
+    "w8_page_continuation",
+    f"""
+    with f as (
+      select source, doc_id, text,
+             lag(text) over (partition by source order by doc_id) as prev_text
+      from documents
+    ),
+    g as (
+      select source, doc_id, text,
+             sum(case when prev_text is not null
+                       and length(trim(prev_text)) > 0
+                       and not regexp_matches(prev_text, '{_TERM_RE}')
+                  then 0 else 1 end)
+               over (partition by source order by doc_id) as seg1
+      from f
+    )
+    select source, cast(seg1 - 1 as int) as segment,
+           cast(min(doc_id) as bigint) as doc_first,
+           cast(max(doc_id) as bigint) as doc_last,
+           cast(count(*) as bigint) as n_parts,
+           cast(sum(length(text)) as bigint) as chars
+    from g group by source, seg1
+    """,
+)
+def w8_page_continuation(spark, sf_dir):
+    """Continuation-merge segmentation over an ordered per-source doc
+    stream — the driver-table analogue of assemble.merge_continuations
+    (same lag → island → rollup plan; one shuffle on source)."""
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prev_text = F.lag("text").over(w)
+    new_seg = F.when(
+        prev_text.isNotNull()
+        & (F.length(F.trim(prev_text)) > 0)
+        & ~prev_text.rlike(_TERM_RE),
+        0,
+    ).otherwise(1)
+    g = d.select(
+        "source", "doc_id", "text", F.sum(new_seg).over(w).alias("seg1")
+    )
+    return g.groupBy("source", (F.col("seg1") - 1).cast("int").alias("segment")).agg(
+        F.min("doc_id").cast("long").alias("doc_first"),
+        F.max("doc_id").cast("long").alias("doc_last"),
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
