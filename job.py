@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
         "--stats", default=None, help="optional output path for per-conversation rollups"
     )
     ap.add_argument(
+        "--assembled",
+        default=None,
+        help="optional sink for cross-turn continuation-merged segments",
+    )
+    ap.add_argument(
         "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
     )
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
@@ -108,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
         catalog.write_ref(
             pipeline.conversation_stats(catalog.read_ref(spark, args.output)),
             args.stats,
+        )
+    if args.assembled:
+        from xtract import assemble
+
+        catalog.write_ref(
+            assemble.merge_continuations(catalog.read_ref(spark, args.output)),
+            args.assembled,
         )
 
     wall = time.monotonic() - t0

@@ -183,6 +183,28 @@ def main() -> None:
         )
     )
 
+    # ---- cross-turn assembly: exactly ONE shuffle -------------------
+    from xtract import assemble
+
+    asm = assemble.merge_continuations(pipeline.extract(tr, mode="fused"))
+    p = plan_of(asm)
+    n_exchanges = len(
+        [ln for ln in p.splitlines() if ln.strip().startswith("(") and ") Exchange" in ln]
+    )
+    sections.append(
+        (
+            "Cross-turn assembly (window → islands → rollup)",
+            p,
+            [
+                "Exactly ONE Exchange: the conv_id hash partitioning installed for "
+                "the lag/sum windows is reused by the per-segment aggregation "
+                "(partial → final with no re-shuffle), so assembly costs one "
+                "shuffle of span-sized rows regardless of cluster width.",
+            ],
+        )
+    )
+    checks.append(("assembly has exactly one Exchange", n_exchanges == 1))
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",
