@@ -93,7 +93,7 @@ def test_extraction_pipeline_composition(spark):
     by_conv: dict = {}
     for r in spans.collect():
         by_conv.setdefault(r.conv_id, []).append(
-            {"turn_idx": r.turn_idx, "seq": r.seq,
+            {"turn_idx": r.turn_idx, "seq": r.seq, "bbox": list(r.bbox or []),
              "question_number": r.question_number, "span_text": r.span_text}
         )
     want_rows = 0

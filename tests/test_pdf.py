@@ -232,3 +232,50 @@ def test_mutation_fuzz_never_raises():
             assert isinstance(out, dict) and "blocks" in out and "lines" in out
             for b in out["blocks"]:
                 assert len(b["block_bbox"]) == 4
+
+
+def test_multipage_pdf_document_assembles(spark, tmp_path):
+    """Full stack: per-page PDFs of one document (<stem>_p<N>.pdf) →
+    binaryFile scan → content-stream parse → extraction → cross-turn
+    assembly rejoins the question the page break cut in half."""
+    from xtract import assemble, pipeline
+
+    def page(blocks):
+        return pdf.make_pdf(blocks, 2000, 2800)
+
+    def tb(bid, content, y):
+        n = content.count("\n") + 1
+        return {"block_label": "text", "block_content": content,
+                "block_bbox": [120, y, 1880, y + 45 * n + 14],
+                "block_id": bid, "block_order": bid, "group_id": bid}
+
+    # page 0: Q1 complete, Q2 cut mid-sentence; page 1: continuation + Q3
+    (tmp_path / "exam_p0.pdf").write_bytes(
+        page([tb(1, "1、计算下列各式的值。（4分）", 200),
+              tb(2, "2、解下列方程组，其中未知数x与y满足", 400)])
+    )
+    (tmp_path / "exam_p1.pdf").write_bytes(
+        page([tb(1, "如下约束条件，并写出完整过程。（8分）", 200),
+              tb(2, "3、判断下列说法的对错。（2分）", 400)])
+    )
+    (tmp_path / "solo.pdf").write_bytes(  # no _p suffix: own conversation
+        page([tb(1, "1、独立文档的题目。（1分）", 200)])
+    )
+
+    transcripts = pdf.read_pdfs(spark, str(tmp_path))
+    convs = {(r.conv_id, r.turn_idx) for r in transcripts.select("conv_id", "turn_idx").collect()}
+    assert convs == {("exam", 0), ("exam", 1), ("solo.pdf", 0)}
+
+    assembled = assemble.merge_continuations(
+        pipeline.extract(transcripts, mode="fused")
+    )
+    exam = {r.segment: r for r in assembled.collect() if r.conv_id == "exam"}
+    merged = [r for r in exam.values() if r.n_parts == 2]
+    assert len(merged) == 1
+    m = merged[0]
+    assert m.question_number == 2 and m.score == 8
+    assert m.span_text == "2、解下列方程组，其中未知数x与y满足\n如下约束条件，并写出完整过程。（8分）"
+    assert (m.turn_first, m.turn_last) == (0, 1)
+    # Q1 and Q3 stay single-part
+    singles = sorted(r.question_number for r in exam.values() if r.n_parts == 1)
+    assert singles == [1, 3]

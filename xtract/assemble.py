@@ -9,12 +9,18 @@ conversation IS the multi-page document, so the north rule's
 "window-over-(conv_id, turn_idx) ordering … before span merge" gets a
 real cross-turn operator:
 
+**Ordering**: spans are taken in PHYSICAL page order within each turn
+— (turn_idx, bbox_y1, seq), falling back to seq when no bbox — NOT in
+the sentinel-999 output order of the structure stage (which sorts
+unnumbered spans last, extractor.py:211-214, hiding a continuation
+that physically leads its page).
+
 **Continuation rule** (deterministic, pinned by tests): span S
-continues its predecessor P (in (turn_idx, seq) order within the
+continues its predecessor P (in physical order within the
 conversation) iff
-  - S is the first span of its turn (seq == 0), and
+  - P is from exactly the previous turn (turn_idx - 1) — which makes
+    S the physically-first span of its own turn, and
   - S carries no question number (an unnumbered leading block), and
-  - P is from exactly the previous turn (turn_idx - 1), and
   - P's text does not end with terminal punctuation or a closing
     bracket (。？！；?!;.）)】]) — a "（5分）" score marker closes a
     question even without a final period.
@@ -69,18 +75,25 @@ ASSEMBLED = T.StructType(
 )
 
 
+def _phys(r: dict[str, Any]) -> int:
+    bbox = r.get("bbox")
+    if bbox and len(bbox) == 4:
+        return int(bbox[1])
+    return int(r["seq"])
+
+
 def merge_continuations_py(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
     """Single-conversation oracle. ``rows`` are span dicts with
-    turn_idx/seq/question_number/span_text, any order."""
+    turn_idx/seq/question_number/span_text (+ optional bbox), any
+    order."""
     from . import oracle
 
-    ordered = sorted(rows, key=lambda r: (r["turn_idx"], r["seq"]))
+    ordered = sorted(rows, key=lambda r: (r["turn_idx"], _phys(r), r["seq"]))
     segments: list[list[dict[str, Any]]] = []
     for r in ordered:
         prev = segments[-1][-1] if segments else None
         cont = (
             prev is not None
-            and r["seq"] == 0
             and r["question_number"] is None
             and r["turn_idx"] == prev["turn_idx"] + 1
             and _is_open(prev["span_text"])
@@ -109,25 +122,40 @@ def merge_continuations_py(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
 
 
 def merge_continuations(spans: DataFrame) -> DataFrame:
-    """Distributed cross-turn assembly over schema.SPANS rows."""
+    """Distributed cross-turn assembly over schema.SPANS rows (bbox
+    optional — physical order falls back to seq without it)."""
     from . import structure
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "seq")
+    has_bbox = "bbox" in spans.columns
+    phys = (
+        F.when(F.size(F.col("bbox")) == 4, F.col("bbox")[1]).otherwise(F.col("seq"))
+        if has_bbox
+        else F.col("seq")
+    )
+    base = spans.select(
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "question_number",
+        "span_text",
+        phys.cast("int").alias("phys"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "phys", "seq")
     prev_turn = F.lag("turn_idx").over(w)
     prev_text = F.lag("span_text").over(w)
     continuation = (
         prev_turn.isNotNull()
-        & (F.col("seq") == 0)
         & F.col("question_number").isNull()
         & (F.col("turn_idx") == prev_turn + 1)
         & prev_text.isNotNull()
         & (F.length(F.trim(prev_text)) > 0)
         & ~prev_text.rlike(f"[{TERMINAL}]\\s*$")
     )
-    flagged = spans.select(
+    flagged = base.select(
         "conv_id",
         "turn_idx",
         "seq",
+        "phys",
         "question_number",
         "span_text",
         F.sum(F.when(continuation, 0).otherwise(1)).over(w).alias("seg1"),
@@ -137,7 +165,9 @@ def merge_continuations(spans: DataFrame) -> DataFrame:
         F.max("turn_idx").alias("turn_last"),
         F.count("*").cast("int").alias("n_parts"),
         F.array_sort(
-            F.collect_list(F.struct("turn_idx", "seq", "span_text", "question_number"))
+            F.collect_list(
+                F.struct("turn_idx", "phys", "seq", "span_text", "question_number")
+            )
         ).alias("ps"),
     )
     text = F.when(

@@ -673,14 +673,24 @@ def extract_pdf_turns(pdfs: DataFrame) -> DataFrame:
 
 def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
     """Directory/glob of .pdf files → transcripts-shaped rows
-    (binaryFile source; conv_id = file name, turn_idx = 0)."""
+    (binaryFile source).
+
+    Multi-page documents follow the ``<stem>_p<N>.pdf`` convention:
+    such files share ``conv_id = <stem>`` with ``turn_idx = N``, so a
+    scanned document split into per-page PDFs flows through extraction
+    AND the cross-turn assembler (assemble.merge_continuations) as one
+    ordered conversation. Files without the suffix get their own
+    single-turn conversation (conv_id = file name, turn_idx = 0)."""
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    page_no = F.regexp_extract(fname, r"^(.+)_p(\d+)\.pdf$", 2)
+    stem = F.regexp_extract(fname, r"^(.+)_p(\d+)\.pdf$", 1)
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.pdf")
         .load(path)
         .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("conv_id"),
-            F.lit(0).alias("turn_idx"),
+            F.when(page_no != "", stem).otherwise(fname).alias("conv_id"),
+            F.when(page_no != "", page_no.cast("int")).otherwise(0).alias("turn_idx"),
             F.col("content").alias("payload"),
         )
     )
