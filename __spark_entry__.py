@@ -129,6 +129,18 @@ def _extraction_queries() -> dict[str, Callable]:
         spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
         return assemble.merge_continuations(spans)
 
+    def x_dup_spans(spark, sf_dir):
+        """Near-duplicate question pairs over the engine's own
+        extracted spans (winnowing fingerprints; fingerprint.dup_spans).
+        Even doc_ids repeat payload seeds across sources, so real dup
+        pairs exist in the derived corpus."""
+        from xtract import fingerprint
+
+        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
+        # min_shared=8: the derived corpus reuses a small phrase
+        # vocabulary, so loose thresholds explode pair counts
+        return fingerprint.dup_spans(spans, min_shared=8)
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -137,6 +149,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_analyze_groups": x_analyze_groups,
         "x_pdf_extract": x_pdf_extract,
         "x_assemble": x_assemble,
+        "x_dup_spans": x_dup_spans,
     }
 
 

@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
         help="optional sink for cross-turn continuation-merged segments",
     )
     ap.add_argument(
+        "--dup-pairs",
+        default=None,
+        help="optional sink for near-duplicate span pairs (winnowing fingerprints)",
+    )
+    ap.add_argument(
         "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
     )
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
@@ -120,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
         catalog.write_ref(
             assemble.merge_continuations(catalog.read_ref(spark, args.output)),
             args.assembled,
+        )
+    if args.dup_pairs:
+        from xtract import fingerprint
+
+        catalog.write_ref(
+            fingerprint.dup_spans(catalog.read_ref(spark, args.output)),
+            args.dup_pairs,
+            bucket_col=None,
         )
 
     wall = time.monotonic() - t0

@@ -87,3 +87,33 @@ def test_max_df_drops_stop_grams(spark):
     without_cap = fpm.shared_pairs(fps, min_shared=1).collect()
     assert len(without_cap) > 0
     assert len(with_cap) == 0
+
+
+def test_dup_spans_finds_repeated_questions(spark):
+    """Dedup over the engine's own output: two conversations carrying
+    the same long question text pair up; distinct questions don't."""
+    import pandas as pd
+
+    q_long = "7、证明三角形内角和为一百八十度并写出完整的推理过程与依据。（10分）"
+    rows = []
+    for conv, text in [
+        ("a", q_long),
+        ("b", q_long),  # exact repeat of a's question
+        ("c", "1、计算二加二的值并说明运算律的使用理由。（2分）"),
+        ("d", "完全不同的一段说明文字，不构成题目内容，仅用于对照。"),
+    ]:
+        rows.append({"conv_id": conv, "turn_idx": 0, "seq": 0, "span_text": text})
+    spans = spark.createDataFrame(
+        pd.DataFrame(rows), schema="conv_id string, turn_idx int, seq int, span_text string"
+    )
+    pairs = fpm.dup_spans(spans, min_shared=2, max_df=10).collect()
+    assert len(pairs) == 1
+    import pyspark.sql.functions as F
+
+    keys = {
+        r.conv_id: r.k
+        for r in spans.select(
+            "conv_id", F.xxhash64("conv_id", "turn_idx", "seq").alias("k")
+        ).collect()
+    }
+    assert {pairs[0].doc_a, pairs[0].doc_b} == {keys["a"], keys["b"]}

@@ -27,9 +27,11 @@ conversation) iff
 Chains merge transitively (a question split over 3+ pages).
 
 Spark shape: one window over partitionBy(conv_id) orderBy(turn_idx,
-seq) producing a lag-based continuation flag, a running-sum segment id
-(gaps-and-islands, same shape as W6), then a groupBy ordered concat
-(same shape as A1). Rows per conversation ≈ spans, so a mega
+phys, seq) producing a lag-based continuation flag, a running-sum
+segment id (gaps-and-islands, same shape as W6), then a groupBy
+ordered concat (same shape as A1). (Whitespace edge: Python ``\\s``
+is unicode-aware, Java's is ASCII — irrelevant here because the
+extractor strips span text, pinned by the composition test.) Rows per conversation ≈ spans, so a mega
 conversation holds ~3×turns small rows in one task — bounded and
 documented (skew.py salting applies to the *extraction* stages; this
 final assembly is inherently per-conversation-ordered).

@@ -110,6 +110,23 @@ def fingerprints(
     ).mapInPandas(kernel, schema=FP_SCHEMA)
 
 
+def dup_spans(
+    spans: DataFrame, min_shared: int = 4, max_df: int = 20
+) -> DataFrame:
+    """Duplicate-question detection over extracted spans: winnowing
+    fingerprints of span_text keyed by xxhash64(conv_id, turn_idx,
+    seq) (the spans' natural key, folded to one long for the
+    inverted-index join), then shared-fingerprint pairs. The
+    training-data dedup step applied to the engine's own output —
+    repeated exam questions across conversations surface as pairs.
+    Keys join back to spans via the same xxhash64 expression."""
+    keyed = spans.select(
+        F.xxhash64("conv_id", "turn_idx", "seq").alias("doc_id"),
+        F.col("span_text").alias("text"),
+    )
+    return shared_pairs(fingerprints(keyed), min_shared=min_shared, max_df=max_df)
+
+
 def winnow_summary(fps: DataFrame) -> DataFrame:
     """Per-doc fingerprint digest (count / min / max / sum) — compact,
     deterministic, hashable cross-engine."""
