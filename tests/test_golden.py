@@ -3,13 +3,13 @@
 input→output chain of the v2 OCR-precise splitter, SURVEY.md §5.2).
 
 These files are read-only evidence produced by the real reference run
-(with live OCR + VL); our deterministic rebuild must reproduce every
-split where the deterministic path was decisive, and the divergences
-must be exactly the two documented external-model gaps:
-1. strict≠loose detection counts → the reference consulted VL
-   (v2:382-394); our north-rule replacement falls back to strict.
-2. OCR line geometry: absent from our fixtures, so v2 aborts the split
-   (v2:134-136) — which is also what the reference did when OCR missed.
+(with live OCR + VL); our deterministic rebuild reproduces every split
+in the corpus, including the one the reference settled by VL call:
+the consecutive-extension arbitration (oracle._prefer_loose) makes
+the same choice the VL made on page 2 block 5, deterministically.
+The remaining external-model note: OCR line geometry is absent from
+our fixtures, so v2 aborts geometry-dependent splits (v2:134-136) —
+which is also what the reference did when OCR missed.
 """
 import json
 
@@ -22,7 +22,8 @@ PAGES = ["2", "3", "7", "8", "mifeng_doubao_1"]
 
 # the single strict/loose-divergent split in the corpus (page 2 block
 # 5: "…(2分)4.在这个…" — mid-line 4. invisible to strict); the
-# reference's VL arbitration sided with loose
+# reference's VL arbitration sided with loose, and so does our
+# deterministic consecutive-extension rule — asserted below
 KNOWN_VL_SPLITS = {("2", 5)}
 
 
@@ -48,23 +49,25 @@ def test_golden_split_replay(page):
         loose = oracle.detect(text, "v2-loose")
 
         if (page, parent) in KNOWN_VL_SPLITS:
+            # the arbitration is genuinely exercised here…
             assert len(strict) != len(loose)
-            # the VL outcome equals the loose detection here
-            assert [m["number"] for m in loose] == [
-                s["question_number"] for s in subs
-            ]
-            continue
+        else:
+            # …and everywhere else the deterministic path is decisive
+            assert len(strict) == len(loose), (page, parent)
 
-        # deterministic-decisive case: exact replay
-        assert len(strict) == len(loose), (page, parent)
-        assert [m["number"] for m in strict] == [
+        # full replay through the arbitrated detection — including the
+        # VL-settled case, which the consecutive-extension rule now
+        # reproduces without any model call
+        chosen = oracle.detect_v2(text)
+        assert chosen is not None, (page, parent)
+        assert [m["number"] for m in chosen] == [
             s["question_number"] for s in subs
         ], (page, parent)
         # v2 slicing: sub 0 from char 0, later from match position
         # (v2:140-150); ids parent*100+i (v2:151-153)
-        for i, (m, s) in enumerate(zip(strict, subs)):
+        for i, (m, s) in enumerate(zip(chosen, subs)):
             start = 0 if i == 0 else m["position"]
-            end = strict[i + 1]["position"] if i + 1 < len(strict) else len(text)
+            end = chosen[i + 1]["position"] if i + 1 < len(chosen) else len(text)
             assert text[start:end].strip() == s["text"], (page, parent, i)
             assert s["id"] == parent * 100 + i
 

@@ -277,3 +277,36 @@ def test_reference_doc_false_positive_corpus():
     t5 = "阅读材料：某段很长的材料\n(1) 第一问内容足够长\n(2) 第二问内容足够长"
     got = oracle.detect_v2(t5)
     assert got and [m["number"] for m in got] == [1, 2]
+
+
+def test_arbitration_cross_implementation_parity():
+    """oracle.detect_v2 and detect._arbitrate are independent
+    restatements of the strict/loose arbitration; they must choose
+    identically on a seeded corpus spanning both fire and no-fire
+    shapes."""
+    import random
+
+    from xtract import detect as dmod
+
+    rng = random.Random(99)
+    fragments = [
+        "3.找一个点D，使四边形ABCD是等腰梯形，画出它。(2分)",
+        "4.在图中画一条线段，将其分成两个图形。(2分)",
+        "如图所示，1.电路中电压为 5V，2.电流为 2A",
+        "参考资料：1. 《物理学》 2. 《化学基础》",
+        "5、解方程并验算结果的正确性。（3分）",
+        "速度为1.5m/s，求通过的路程是多少米。",
+        "第2题图所示的三角形中，",
+        "五、解决问题。(共13分)",
+        "\n",
+        "（ ）",
+    ]
+    for _ in range(300):
+        text = "".join(rng.choice(fragments) for _ in range(rng.randint(1, 5)))
+        want = oracle.detect_v2(text)
+        got = dmod._arbitrate(text)
+        want_nums = [m["number"] for m in want] if want else None
+        got_nums = [t[0] for t in got] if len(got) > 1 else None
+        assert want_nums == got_nums, repr(text)
+        if want:
+            assert [m["position"] for m in want] == [t[1] for t in got], repr(text)

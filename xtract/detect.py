@@ -106,6 +106,45 @@ def detect_numbers_v2_loose(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: _scan(t, "v2-loose"))
 
 
+_BOUNDARY_BEFORE = set("。？！；?!;.)）")
+
+
+def _arbitrate(text: str) -> list[tuple[int, int, int, int, int]]:
+    """v2 strict/loose arbitration (independent restatement of
+    oracle._prefer_loose — the two cross-check in tests): prefer loose
+    iff strict's numbers are a prefix of loose's, the whole loose
+    sequence ascends consecutively from ≥1, AND every loose-only match
+    follows a question terminator (terminal punctuation / closing
+    paren — the "…(2分)4.…" shape)."""
+    strict = _scan(text, "v2-strict")
+    loose = _scan(text, "v2-loose")
+    if len(strict) == len(loose):
+        return strict
+    sn = [t[0] for t in strict]
+    ln = [t[0] for t in loose]
+    if not (
+        sn
+        and len(ln) > len(sn)
+        and ln[: len(sn)] == sn
+        and ln[0] >= 1
+        and ln == list(range(ln[0], ln[0] + len(ln)))
+    ):
+        return strict
+    strict_pos = {t[1] for t in strict}
+    for t in loose:
+        if t[1] in strict_pos:
+            continue
+        before = text[: t[1]].rstrip()
+        if not before or before[-1] not in _BOUNDARY_BEFORE:
+            return strict
+    return loose
+
+
+@pandas_udf(MATCHES_TYPE)
+def detect_numbers_v2_arb(texts: pd.Series) -> pd.Series:
+    return texts.map(_arbitrate)
+
+
 def with_matches(df, content_col: str = "block.block_content", mode: str = "v1"):
     """Attach a ``matches`` column; the rlike pre-filter keeps rows with
     no digits out of the Arrow round-trip entirely."""
@@ -113,6 +152,7 @@ def with_matches(df, content_col: str = "block.block_content", mode: str = "v1")
         "v1": detect_numbers_v1,
         "v2-strict": detect_numbers_v2_strict,
         "v2-loose": detect_numbers_v2_loose,
+        "v2-arb": detect_numbers_v2_arb,
     }[mode]
     c = F.col(content_col)
     return df.withColumn(

@@ -93,17 +93,62 @@ def detect(text: str, mode: str = "v1") -> list[dict[str, Any]]:
     return out
 
 
+_BOUNDARY_BEFORE = set("。？！；?!;.)）")
+
+
+def _prefer_loose(strict: list[dict], loose: list[dict], text: str) -> bool:
+    """Deterministic replacement for the v2 VL arbitration
+    (v2:382-394): side with loose iff BOTH hold —
+
+    1. loose extends strict into one consecutive ascending run
+       (strict's numbers as a prefix, extras appended continuing the
+       sequence) — the consecutiveness sanity rule the reference
+       itself applies to splits (…vl_ocr.py:885-890;
+       docs/OCR结果二次拆分方案设计.md:485-497); and
+    2. every loose-only match sits right after a question terminator
+       — terminal punctuation or a closing paren, i.e. the "…(2分)4.…"
+       shape where the previous question visibly ended mid-line.
+
+    This reproduces the corpus's one VL-arbitrated outcome (page 2
+    block 5) while rejecting the reference's documented false-positive
+    corpus (docs/OCR结果二次拆分方案设计.md:406-440): in-prose numbering
+    ("…电压为 5V，2.电流…") and reference lists ("《物理学》 2.…") have
+    a comma/quote before the number, not a terminator. Mirrored by
+    detect._arbitrate — the two implementations cross-check in
+    tests."""
+    sn = [m["number"] for m in strict]
+    ln = [m["number"] for m in loose]
+    if not (
+        bool(sn)
+        and len(ln) > len(sn)
+        and ln[: len(sn)] == sn
+        and ln[0] >= 1
+        and ln == list(range(ln[0], ln[0] + len(ln)))
+    ):
+        return False
+    strict_pos = {m["position"] for m in strict}
+    for m in loose:
+        if m["position"] in strict_pos:
+            continue
+        before = text[: m["position"]].rstrip()
+        if not before or before[-1] not in _BOUNDARY_BEFORE:
+            return False
+    return True
+
+
 def detect_v2(text: str) -> Optional[list[dict[str, Any]]]:
-    """v2 strict/loose arbitration with the deterministic (no-VL)
-    fallback: equal counts → strict, unequal → strict
-    (v2:365-399; the :390-399 fallback is the spec)."""
+    """v2 strict/loose arbitration: equal counts → strict
+    (v2:377-380); unequal → the deterministic consecutive-extension
+    rule above, falling back to strict (the no-VL fallback v2:390-399
+    remains the default arm)."""
     strict = detect(text, "v2-strict")
-    # loose pass computed for arbitration parity even though both arms
-    # resolve to strict deterministically
-    _ = detect(text, "v2-loose")
-    if len(strict) <= 1:
+    loose = detect(text, "v2-loose")
+    chosen = strict
+    if len(strict) != len(loose) and _prefer_loose(strict, loose, text):
+        chosen = loose
+    if len(chosen) <= 1:
         return None
-    return strict
+    return chosen
 
 
 # --------------------------------------------------------------- geometry

@@ -22,8 +22,10 @@ Reference semantics (v1, question_splitter.py:33-90,338-407):
   min-height clamp 50px (:354-395)
 
 v2 (test_exam_paper_analysis_vl_ocr_v2.py:97-245):
-- strict detection (unanchored + line-start validation), deterministic
-  no-VL arbitration = strict (:390-399)
+- strict detection (unanchored + line-start validation); deterministic
+  arbitration when strict≠loose: prefer loose iff it consecutively
+  extends strict (detect._arbitrate / oracle._prefer_loose — replaces
+  the VL call v2:382-394, falls back to strict :390-399)
 - line lookup per number via ^n\\.|^n、|第n题|\\(n\\) on the stripped
   line (:249-261); ANY miss aborts the whole split (:134-136)
 - sub 0 slices from char 0 and keeps parent top; ids parent*100+i
@@ -190,7 +192,7 @@ def split_spans_v2(blocks: DataFrame) -> DataFrame:
     """v2 split; ``source_block_id`` carries the v2 id (parent*100+i
     for splits) — the group-assembly key of groups.py."""
     tb = blocks.filter(F.col("block.block_label") == "text")
-    tb = with_matches(tb, "block.block_content", "v2-strict")
+    tb = with_matches(tb, "block.block_content", "v2-arb")
 
     content = F.coalesce(F.col("block.block_content"), F.lit(""))
     bbox = F.col("block.block_bbox")
