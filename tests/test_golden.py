@@ -131,3 +131,36 @@ def test_golden_block_passthrough_counts():
             assert b["text"] == src["text"]
             assert b["bbox"] == src["bbox"]
             assert b["label"] == src["label"]
+
+
+def test_golden_group_overlap_floor():
+    """The X4 VL semantic aggregation is replaced by deterministic
+    routing (north rule) — byte parity is impossible because the VL's
+    own grouping is inconsistent across pages (page 3 sweeps whole
+    columns into one group, page 8 pairs question+answer blocks,
+    page 2 re-merges blocks the splitter just split). This test pins
+    the measured structural overlap so regressions in the router are
+    caught: exact block-id-set matches per page against the VL's
+    question groups, computed from the same split-stage blocks."""
+    want = {"2": 4, "3": 0, "7": 7, "8": 5, "mifeng_doubao_1": 14}
+    for page, floor in want.items():
+        r = json.load(open(f"{GOLD}/{page}_v2_result.json"))
+        sp = json.load(open(f"{GOLD}/{page}_v2_split.json"))
+        blocks = [
+            {"block_label": b["label"], "block_content": b["text"],
+             "block_bbox": b["bbox"], "block_id": b["id"],
+             "block_order": b["id"], "group_id": b["id"],
+             "question_number": b.get("question_number"),
+             "split_from_merged": b.get("split_from_merged", False)}
+            for b in sp["blocks"]
+        ]
+        payload = json.dumps(
+            {"page": r.get("image_size", {}), "blocks": blocks, "lines": []},
+            ensure_ascii=False,
+        )
+        ours = oracle.analyze_turn(payload)
+        gold_q = {tuple(sorted(g["block_ids"]))
+                  for g in r["question_groups"] if g["type"] == "question"}
+        our_q = {tuple(sorted(g.get("block_ids", [])))
+                 for g in ours if g.get("gtype") == "question"}
+        assert len(gold_q & our_q) >= floor, (page, len(gold_q & our_q))
