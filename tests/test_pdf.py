@@ -279,3 +279,32 @@ def test_multipage_pdf_document_assembles(spark, tmp_path):
     # Q1 and Q3 stay single-part
     singles = sorted(r.question_number for r in exam.values() if r.n_parts == 1)
     assert singles == [1, 3]
+
+
+def test_hypothesis_text_roundtrip():
+    """Property: ANY single-block text (no newlines/controls, not
+    whitespace-only) survives write→parse byte-exactly — escapes,
+    parens, backslashes, CJK, and octal-looking sequences included."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),
+        include_characters="()\\（）【】。\t 一二三题分",
+    )
+    texts = st.text(alphabet=alphabet, min_size=1, max_size=120).filter(
+        lambda t: t.strip() and "\n" not in t and "\r" not in t
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(line=texts, compress=st.booleans())
+    def check(line, compress):
+        blocks = [{"block_label": "text", "block_content": line,
+                   "block_bbox": [100, 100, 1900, 160], "block_id": 1,
+                   "block_order": 1, "group_id": 1}]
+        p = pdf.parse_pdf_py(pdf.make_pdf(blocks, 2000, 2800, compress=compress))
+        assert p is not None
+        got = [b["block_content"] for b in p["blocks"]]
+        assert got == [line]
+
+    check()
