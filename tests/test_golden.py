@@ -164,3 +164,42 @@ def test_golden_group_overlap_floor():
         our_q = {tuple(sorted(g.get("block_ids", [])))
                  for g in ours if g.get("gtype") == "question"}
         assert len(gold_q & our_q) >= floor, (page, len(gold_q & our_q))
+
+
+GOLD_V1 = "/root/reference/output/exam_analysis_vl"
+PAGES_V1 = ["1", "mifeng_1"]
+
+
+@pytest.mark.parametrize("page", PAGES_V1)
+def test_golden_v1_postprocessor_replay(page):
+    """v1 analyzer chain (…vl_ocr.py): given the VL's group membership
+    (the semantic step), the post-processor's deterministic math must
+    replay exactly — merged_bbox = min/max over member blocks (G5,
+    …vl_ocr.py:781-819) and merged_text = block texts joined with a
+    space in block_ids order, skipping empties (A1). Also SO1: every
+    block id appears in exactly one group (validate_groups anti-join
+    repair, :822-851)."""
+    raw = json.load(open(f"{GOLD_V1}/{page}_vl_paddle_raw.json"))
+    res = json.load(open(f"{GOLD_V1}/{page}_vl_result.json"))
+    by_id = {b["id"]: b for b in raw["blocks"]}
+
+    seen: list[int] = []
+    for g in res["question_groups"]:
+        members = [by_id[i] for i in g["block_ids"] if i in by_id]
+        assert len(members) == len(g["block_ids"]), g["block_ids"]
+        seen.extend(g["block_ids"])
+        # G5 merged bbox: min/max corners over member bboxes
+        want_bbox = [
+            min(b["bbox"][0] for b in members),
+            min(b["bbox"][1] for b in members),
+            max(b["bbox"][2] for b in members),
+            max(b["bbox"][3] for b in members),
+        ]
+        assert g["merged_bbox"] == want_bbox, g["block_ids"]
+        # A1 ordered concat: texts in block_ids order, empties skipped
+        want_text = " ".join(
+            b["text"] for b in members if (b["text"] or "").strip()
+        )
+        assert g["merged_text"] == want_text, g["block_ids"]
+    # SO1: partition property — every raw block in exactly one group
+    assert sorted(seen) == sorted(b["id"] for b in raw["blocks"])
