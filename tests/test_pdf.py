@@ -308,3 +308,42 @@ def test_hypothesis_text_roundtrip():
         assert got == [line]
 
     check()
+
+
+def test_two_column_reading_order():
+    """Two-column page: blocks must read title → left column top-down →
+    right column top-down, not y-interleaved across the midline."""
+    def tb(bid, content, x1, y, x2):
+        return {"block_label": "text", "block_content": content,
+                "block_bbox": [x1, y, x2, y + 60], "block_id": bid,
+                "block_order": bid, "group_id": bid}
+
+    blocks = [
+        {"block_label": "doc_title", "block_content": "二栏测试卷",
+         "block_bbox": [400, 80, 1600, 150], "block_id": 1,
+         "block_order": 1, "group_id": 1},
+        tb(2, "1、左栏第一题。（2分）", 100, 300, 900),
+        tb(3, "2、左栏第二题。（2分）", 100, 900, 900),
+        tb(4, "3、右栏第一题。（2分）", 1100, 300, 1900),
+        tb(5, "4、右栏第二题。（2分）", 1100, 900, 1900),
+    ]
+    p = pdf.parse_pdf_py(pdf.make_pdf(blocks, 2000, 2800))
+    assert p is not None
+    contents = [b["block_content"] for b in p["blocks"]]
+    assert contents == [
+        "二栏测试卷",
+        "1、左栏第一题。（2分）",
+        "2、左栏第二题。（2分）",
+        "3、右栏第一题。（2分）",
+        "4、右栏第二题。（2分）",
+    ]
+    # ids follow the corrected reading order
+    assert [b["block_id"] for b in p["blocks"]] == [1, 2, 3, 4, 5]
+
+
+def test_single_column_order_unchanged():
+    """Full-width blocks keep plain y-order (the common exam layout)."""
+    p = pdf.parse_pdf_py(pdf.make_pdf(BLOCKS, 2000, 2800))
+    assert [b["block_content"] for b in p["blocks"] if b["block_label"] != "image"] == [
+        BLOCKS[0]["block_content"], BLOCKS[1]["block_content"]
+    ]

@@ -341,6 +341,50 @@ def _streams(buf: bytes) -> Iterator[bytes]:
 
 
 MERGE_GAP_FACTOR = 1.05  # BT groups closer than this × leading merge
+COLUMN_EDGE_TOL = 0.02  # ± fraction of page width around the midline
+
+
+def _reading_order(blocks: list[dict], page_w: float) -> list[dict]:
+    """Reading order for the parsed blocks.
+
+    Single-column pages sort by (y, x). Two-column pages (exam papers
+    commonly print answer columns side by side — e.g. the reference's
+    golden page 3) must NOT interleave columns by y: when the
+    non-spanning blocks fall cleanly into left/right halves (≥2 each,
+    with at most a quarter of blocks spanning the midline), the page is
+    read as vertical segments delimited by the spanning (full-width)
+    blocks — within each segment: the spanning header first, then the
+    left column top-down, then the right column top-down."""
+    mid = page_w / 2.0
+    tol = page_w * COLUMN_EDGE_TOL
+
+    def col(b: dict) -> int:
+        if b["x2"] <= mid + tol:
+            return 0
+        if b["x1"] >= mid - tol:
+            return 1
+        return -1  # spans the midline
+
+    cols = [col(b) for b in blocks]
+    n_left, n_right, n_span = cols.count(0), cols.count(1), cols.count(-1)
+    if not (n_left >= 2 and n_right >= 2 and n_span <= max(1, len(blocks) // 4)):
+        return sorted(blocks, key=lambda b: (b["y1"], b["x1"]))
+
+    span_tops = sorted(b["y1"] for b, c in zip(blocks, cols) if c == -1)
+
+    def seg(b: dict) -> int:
+        return sum(1 for sy in span_tops if sy <= b["y1"])
+
+    return sorted(
+        blocks,
+        key=lambda b: (
+            seg(b),
+            0 if col(b) == -1 else 1,  # segment header leads its segment
+            max(col(b), 0),
+            b["y1"],
+            b["x1"],
+        ),
+    )
 
 
 def parse_pdf_py(buf: bytes) -> dict | None:
@@ -441,7 +485,7 @@ def parse_pdf_py(buf: bytes) -> dict | None:
              "x2": im["x2"], "y2": flip(im["y1"]), "content": "", "glines": []}
         )
 
-    blocks.sort(key=lambda b: (b["y1"], b["x1"]))
+    blocks = _reading_order(blocks, page_w)
     payload_blocks: list[dict] = []
     for i, b in enumerate(blocks):
         bid = i + 1  # ids start at 1 (gen.py:118-121 invariant)
