@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
         help=(
             "transcripts parquet path, table:<catalog.db.name> for an "
             "Iceberg/catalog table, gen:<n_convs> for synthetic input, "
-            "or pdf:<dir> for a directory of PDF pages"
+            "pdf:<dir> for a directory of PDF pages, or html:<dir> for "
+            "a directory of HTML pages (boilerplate-stripped first)"
         ),
     )
     ap.add_argument(
@@ -83,6 +84,10 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import pdf
 
         df = pdf.read_pdfs(spark, args.input[4:])
+    elif args.input.startswith("html:"):
+        from xtract import html
+
+        df = html.read_html(spark, args.input[5:])
     else:
         df = catalog.read_ref(spark, args.input)
 

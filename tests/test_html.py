@@ -81,3 +81,42 @@ def test_malformed_html(spark):
     )
     rows = html.dom_blocks(df).collect()
     assert isinstance(rows, list)  # parser tolerates garbage, no crash
+
+
+def test_read_html_directory_chains_into_extraction(spark, tmp_path):
+    """html:<dir> source: boilerplate-stripped page text flows into the
+    extraction pipeline as a raw-text payload — a scraped exam page
+    yields question spans, chrome yields none."""
+    from xtract import html as hmod
+    from xtract import pipeline
+
+    exam_body = (
+        "<p>1、求下列方程的解，并写出完整的求解过程与验算步骤。（5分）</p>"
+        "<p>2、计算下面三角形的面积，结果保留两位小数并注明单位。（3分）</p>"
+    )
+    page = (
+        "<html><body><header><nav><a href='/a'>Home</a><a href='/b'>About</a>"
+        "</nav></header><article>" + exam_body + "</article>"
+        "<footer><a href='#'>Terms</a></footer></body></html>"
+    )
+    (tmp_path / "exam.html").write_text(page, encoding="utf-8")
+    (tmp_path / "chrome.html").write_text(
+        "<html><body><nav><a href='/x'>only nav</a></nav></body></html>",
+        encoding="utf-8",
+    )
+
+    tr = hmod.read_html(spark, str(tmp_path))
+    rows = {r.conv_id: r.text for r in tr.collect()}
+    assert set(rows) == {"exam.html", "chrome.html"}
+    assert "1、求下列方程的解" in rows["exam.html"]
+    assert "Home" not in rows["exam.html"]  # nav stripped
+
+    spans = pipeline.extract(tr, mode="fused")
+    nums = sorted(
+        r.question_number
+        for r in spans.collect()
+        if r.conv_id == "exam.html" and r.question_number is not None
+    )
+    assert nums == [1, 2]
+    assert all(r.conv_id != "chrome.html" or r.question_number is None
+               for r in spans.collect())

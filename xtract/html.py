@@ -54,10 +54,15 @@ GOOD_STOPWORD_DENSITY = 0.25
 GOOD_MIN_LEN = 80
 LONG_GOOD_LEN = 200
 
+GOOD_CJK_DENSITY = 0.5  # CJK text carries no Latin stopwords; density
+# of ideographs substitutes for the stopword signal (jusText ships
+# per-language stopword lists; this is the deterministic CJK analogue)
+
 _STOPWORDS = re.compile(
     r"\b(the|a|an|of|and|or|to|in|is|are|was|were|it|that|this|for|on|with|as|at|by|be)\b"
 )
 _TOKEN = re.compile(r"[A-Za-z0-9]+|[一-鿿]")
+_CJK = re.compile(r"[一-鿿]")
 _WS = re.compile(r"\s+")
 
 
@@ -154,6 +159,7 @@ def parse_blocks_py(html_text: str) -> list[dict]:
                 "n_tokens": len(tokens),
                 "link_chars": min(b["link_chars"], n_chars),
                 "stop_hits": stop_hits,
+                "cjk_chars": len(_CJK.findall(text)),
                 "in_chrome": b["in_chrome"],
             }
         )
@@ -171,6 +177,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("n_tokens", T.IntegerType(), False),
         T.StructField("link_chars", T.IntegerType(), False),
         T.StructField("stop_hits", T.IntegerType(), False),
+        T.StructField("cjk_chars", T.IntegerType(), False),
         T.StructField("in_chrome", T.BooleanType(), False),
     ]
 )
@@ -205,10 +212,12 @@ def classify(blocks: DataFrame) -> DataFrame:
     SQL (the when-chain order is the rule priority)."""
     link_density = F.col("link_chars") / F.greatest(F.col("n_chars"), F.lit(1))
     stop_density = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
+    cjk_density = F.col("cjk_chars") / F.greatest(F.col("n_chars"), F.lit(1))
     label = (
         F.when(F.col("in_chrome"), "boilerplate")  # DOM-structural veto
         .when(link_density > MAX_LINK_DENSITY, "boilerplate")
         .when(F.col("n_chars") < MIN_LEN_SHORT, "boilerplate")
+        .when(cjk_density >= GOOD_CJK_DENSITY, "good")
         .when(
             (stop_density >= GOOD_STOPWORD_DENSITY)
             & (F.col("n_chars") >= GOOD_MIN_LEN),
@@ -222,6 +231,31 @@ def classify(blocks: DataFrame) -> DataFrame:
         F.round(link_density, 6).alias("link_density"),
         F.round(stop_density, 6).alias("stop_density"),
         label.alias("label"),
+    )
+
+
+def read_html(spark, path: str) -> DataFrame:
+    """Directory/glob of .html files → transcripts-shaped rows whose
+    ``text`` is the boilerplate-stripped main content (conv_id = file
+    name, turn_idx = 0). Chains into pipeline.extract: a scraped exam
+    page goes HTML → clean text → question spans (payload kind (a),
+    raw merged text)."""
+    raw = (
+        spark.read.text(path + "/*.html", wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("value").alias("text"),
+        )
+    )
+    main = extract_main_content(raw)
+    return main.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("tool").alias("role"),
+        F.col("main_text").alias("text"),
+        F.lit("html").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
     )
 
 

@@ -1031,6 +1031,7 @@ def g10_scale_autofix(spark, sf_dir):
       select case
                when cast(lc as double) / greatest(nc, 1) > 0.4 then 'boilerplate'
                when nc < 20 then 'boilerplate'
+               when cast(ck as double) / greatest(nc, 1) >= 0.5 then 'good'
                when cast(sh as double) / greatest(nt, 1) >= 0.25 and nc >= 80 then 'good'
                when nc >= 200 then 'good'
                else 'boilerplate' end as label,
@@ -1039,6 +1040,7 @@ def g10_scale_autofix(spark, sf_dir):
         select length(text) as nc,
                0 as lc,
                len(regexp_extract_all(lower(text), '[a-z0-9]+|[\\x{4e00}-\\x{9fff}]')) as nt,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) as ck,
                len(regexp_extract_all(lower(text),
                  '\\b(the|a|an|of|and|or|to|in|is|are|was|were|it|that|this|for|on|with|as|at|by|be)\\b')) as sh
         from documents
