@@ -31,7 +31,18 @@ phys, seq) producing a lag-based continuation flag, a running-sum
 segment id (gaps-and-islands, same shape as W6), then a groupBy
 ordered concat (same shape as A1). (Whitespace edge: Python ``\\s``
 is unicode-aware, Java's is ASCII — irrelevant here because the
-extractor strips span text, pinned by the composition test.) Rows per conversation ≈ spans, so a mega
+extractor strips span text, pinned by the composition test.)
+
+Scale note: the DENSE per-conversation segment ordinal is what forces
+every span through the conv_id shuffle (10^12 turns → the whole span
+table moves once). If a deployment can key segments by the head
+span's identity (conv_id, turn_first, head_seq) instead of a dense
+ordinal, only the turn-BOUNDARY spans (first/last of each turn, ~2
+per turn regardless of span count) need the window — untouched spans
+pass through shuffle-free and the moved bytes drop by the average
+spans-per-turn factor. The dense form is kept here because the
+single-node oracle (and the reference's output convention,
+extractor.py:226-247 list order) number segments densely. Rows per conversation ≈ spans, so a mega
 conversation holds ~3×turns small rows in one task — bounded and
 documented (skew.py salting applies to the *extraction* stages; this
 final assembly is inherently per-conversation-ordered).
