@@ -107,7 +107,23 @@ def _extraction_queries() -> dict[str, Callable]:
         return pipeline.exam_info(_derived_transcripts(spark, sf_dir))
 
     def x_analyze_groups(spark, sf_dir):
-        return pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
+        """v2-analyzer groups. Array columns (block_ids, merged_bbox)
+        are projected to sortable scalars — the driver canonicalizer
+        lexsorts cell values in pandas and cannot hash python lists."""
+        g = pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
+        return g.select(
+            "conv_id",
+            "turn_idx",
+            "group_seq",
+            "gtype",
+            F.array_join(F.transform("block_ids", lambda b: b.cast("string")), ",")
+            .alias("block_ids_csv"),
+            F.try_element_at("merged_bbox", F.lit(1)).alias("bx1"),
+            F.try_element_at("merged_bbox", F.lit(2)).alias("by1"),
+            F.try_element_at("merged_bbox", F.lit(3)).alias("bx2"),
+            F.try_element_at("merged_bbox", F.lit(4)).alias("by2"),
+            "merged_text",
+        )
 
     def x_pdf_extract(spark, sf_dir):
         """PDF source arm: render seeded layout pages to real PDF
