@@ -70,10 +70,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------------ glue
+def _spans_mat(spark, sf_dir):
+    """Fused-extraction spans, materialized once per process (mat.py).
+    The write IS the fused plan's execution; downstream queries and
+    their DuckDB oracles both read the same bytes back."""
+    from xtract import mat, pipeline
+
+    return mat.materialize(
+        spark,
+        sf_dir,
+        "spans",
+        lambda: pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused"),
+    )
+
+
+def _blocks_mat(spark, sf_dir):
+    """Flat parsed layout blocks (conv_id, turn_idx, block_pos, label,
+    content) — the from_json scan output, materialized for the
+    exam-info regex cross-check."""
+    from xtract import mat, sources
+
+    def build():
+        parsed = sources.parse_payloads(_derived_transcripts(spark, sf_dir))
+        return sources.exploded_blocks(parsed).select(
+            "conv_id",
+            "turn_idx",
+            "block_pos",
+            F.col("block.block_label").alias("label"),
+            F.coalesce(F.col("block.block_content"), F.lit("")).alias("content"),
+        )
+
+    return mat.materialize(spark, sf_dir, "blocks", build)
+
+
 def _extraction_queries() -> dict[str, Callable]:
-    """Rows-only entries (Python-re kernel; no SQL oracle — the parity
-    gate for these lives in tests/test_parity.py against the
-    single-node oracle)."""
+    """Flagship-extraction entries. The Python-re kernel itself is not
+    SQL-restatable, so SQL-expressible *downstream* stages run over a
+    materialized intermediate (xtract/mat.py) and get real DuckDB
+    oracles; the kernel's own gate is tests/test_parity.py, plus the
+    relational-vs-fused cross-plan equality surfaced as a driver row
+    (x_extract_relational)."""
     from xtract import pipeline, structure
 
     def x_extract_spans(spark, sf_dir):
@@ -93,6 +129,11 @@ def _extraction_queries() -> dict[str, Callable]:
         )
 
     def x_extract_relational(spark, sf_dir):
+        """Relational-greedy plan; the oracle reads the materialized
+        FUSED plan's spans — the driver row asserts the two physical
+        strategies produce identical rows (plan-equivalence check,
+        previously pytest-only)."""
+        _spans_mat(spark, sf_dir)
         return pipeline.extract(
             _derived_transcripts(spark, sf_dir), mode="relational", merge="greedy"
         ).select(
@@ -100,11 +141,10 @@ def _extraction_queries() -> dict[str, Callable]:
         )
 
     def x_turn_counters(spark, sf_dir):
-        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
-        return structure.turn_counters(spans)
+        return structure.turn_counters(_spans_mat(spark, sf_dir))
 
     def x_exam_info(spark, sf_dir):
-        return pipeline.exam_info(_derived_transcripts(spark, sf_dir))
+        return structure.exam_info_flat(_blocks_mat(spark, sf_dir))
 
     def x_analyze_groups(spark, sf_dir):
         """v2-analyzer groups. Array columns (block_ids, merged_bbox)
@@ -126,36 +166,57 @@ def _extraction_queries() -> dict[str, Callable]:
         )
 
     def x_pdf_extract(spark, sf_dir):
-        """PDF source arm: render seeded layout pages to real PDF
-        bytes, parse the content streams back to layout payloads
-        (xtract/pdf.py), and run the full extraction over them."""
-        from xtract import pdf
+        """PDF source arm: the FUSED parse+extract kernel
+        (pdf.extract_pdf_turns); the oracle reads the materialized
+        STAGED path (pdf bytes → transcripts → relational-free fused
+        extraction) — two independent plans over the same seeded PDF
+        corpus must agree row-for-row."""
+        from xtract import mat, pdf
 
-        turns = pdf.pdf_to_transcripts(pdf.gen_pdf_turns(spark, 64, partitions=8))
-        return pipeline.extract(turns, mode="fused").select(
+        mat.materialize(
+            spark,
+            sf_dir,
+            "pdf_staged",
+            lambda: pipeline.extract(
+                pdf.pdf_to_transcripts(pdf.gen_pdf_turns(spark, 64, partitions=8)),
+                mode="fused",
+            ).select(
+                "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
+            ),
+        )
+        return pdf.extract_pdf_turns(pdf.gen_pdf_turns(spark, 64, partitions=8)).select(
             "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
         )
 
     def x_assemble(spark, sf_dir):
-        """Cross-turn continuation merge over extracted spans (the
-        multi-page question case the single-page reference cannot
-        handle; xtract/assemble.py, parity in tests/test_assemble.py)."""
+        """Cross-turn continuation merge over materialized spans; the
+        oracle restates the whole assembly (physical-order lag flag →
+        island running-sum → ordered concat) in DuckDB SQL. qtype/score
+        re-derivation is projected out here — it is already
+        cross-checked on the driver tables (r6/r7)."""
         from xtract import assemble
 
-        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
-        return assemble.merge_continuations(spans)
+        return assemble.merge_continuations(_spans_mat(spark, sf_dir)).select(
+            "conv_id",
+            "segment",
+            "turn_first",
+            "turn_last",
+            "question_number",
+            "span_text",
+            "n_parts",
+        )
 
     def x_dup_spans(spark, sf_dir):
         """Near-duplicate question pairs over the engine's own
-        extracted spans (winnowing fingerprints; fingerprint.dup_spans).
-        Even doc_ids repeat payload seeds across sources, so real dup
-        pairs exist in the derived corpus."""
+        extracted spans (winnowing fingerprints; fingerprint.dup_spans,
+        keys restated as conv_id#turn_idx#seq strings so DuckDB can
+        recompute the full inverted-index pipeline). Even doc_ids
+        repeat payload seeds across sources, so real dup pairs exist.
+        min_shared=8: the derived corpus reuses a small phrase
+        vocabulary, so loose thresholds explode pair counts."""
         from xtract import fingerprint
 
-        spans = pipeline.extract(_derived_transcripts(spark, sf_dir), mode="fused")
-        # min_shared=8: the derived corpus reuses a small phrase
-        # vocabulary, so loose thresholds explode pair counts
-        return fingerprint.dup_spans(spans, min_shared=8)
+        return fingerprint.dup_spans(_spans_mat(spark, sf_dir), min_shared=8)
 
     return {
         "x_extract_spans": x_extract_spans,
@@ -177,7 +238,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _extraction_oracles() -> dict[str, str]:
+    """DuckDB restatements over the materialized intermediates
+    (xtract/mat.py). The driver's oracle pass runs at sf=0.01, so the
+    parquet globs are pinned to that scale; the Spark query (which the
+    driver runs first) writes the files in-process, so DuckDB always
+    reads fresh bytes."""
+    from xtract import mat
+    from xtract.queries import _fp_cte
+
+    spans = mat.glob("sf0.01", "spans")
+    blocks = mat.glob("sf0.01", "blocks")
+    pdf_staged = mat.glob("sf0.01", "pdf_staged")
+    term_re = r"[。？！；?!;.）)】\]]\s*$"
+
+    return {
+        "x_extract_relational": f"""
+            select conv_id, turn_idx, seq, question_number, qtype, span_text
+            from read_parquet('{spans}')
+        """,
+        "x_turn_counters": f"""
+            select conv_id, turn_idx,
+                   count(*) as total_questions,
+                   cast(count_if(has_image) as bigint) as with_images,
+                   cast(sum(image_count) as bigint) as total_images,
+                   cast(count_if(split_from_merged) as bigint) as split_count
+            from read_parquet('{spans}')
+            group by conv_id, turn_idx
+        """,
+        "x_exam_info": f"""
+            with b as (
+              select conv_id, turn_idx, block_pos, label, content
+              from read_parquet('{blocks}')
+            ),
+            t2 as (
+              select conv_id, turn_idx, title,
+                     case when contains(title, '数学') then '数学'
+                          when contains(title, '语文') then '语文'
+                          when contains(title, '英语') then '英语'
+                          else '' end as subject,
+                     regexp_extract(title, '[一二三四五六七八九]年级', 0) as grade
+              from (
+                select conv_id, turn_idx, arg_max(content, block_pos) as title
+                from b where label = 'doc_title' group by conv_id, turn_idx
+              )
+            ),
+            tx as (
+              select conv_id, turn_idx, block_pos,
+                     nullif(regexp_extract(content, '时间[：:]\\s*(\\d+)\\s*分钟', 1), '') as tm,
+                     nullif(regexp_extract(content, '满分[：:]\\s*([\\d+]+)\\s*分', 1), '') as sc
+              from b where label = 'text'
+            ),
+            tx2 as (
+              select *,
+                     min(case when tm is not null then block_pos end)
+                       over (partition by conv_id, turn_idx) as ft,
+                     min(case when sc is not null then block_pos end)
+                       over (partition by conv_id, turn_idx) as fs
+              from tx
+            ),
+            agg as (
+              select conv_id, turn_idx,
+                     arg_max(tm, block_pos)
+                       filter (where tm is not null and block_pos <= cutoff) as tmv,
+                     arg_max(sc, block_pos)
+                       filter (where sc is not null and block_pos <= cutoff) as scv
+              from (
+                select *, case when ft is not null and fs is not null
+                               then greatest(ft, fs) else 2147483647 end as cutoff
+                from tx2
+              )
+              group by conv_id, turn_idx
+            )
+            select k.conv_id, k.turn_idx,
+                   coalesce(t2.title, '') as title,
+                   coalesce(t2.subject, '') as subject,
+                   coalesce(t2.grade, '') as grade,
+                   coalesce(a.tmv || '分钟', '') as time_limit,
+                   coalesce(a.scv, '') as total_score
+            from (select distinct conv_id, turn_idx from b) k
+            left join t2 using (conv_id, turn_idx)
+            left join agg a using (conv_id, turn_idx)
+        """,
+        "x_pdf_extract": f"""
+            select conv_id, turn_idx, seq, question_number, qtype, span_text
+            from read_parquet('{pdf_staged}')
+        """,
+        "x_assemble": f"""
+            with s as (
+              select conv_id, turn_idx, seq, question_number, span_text,
+                     cast(case when len(bbox) = 4 then bbox[2] else seq end as int) as phys
+              from read_parquet('{spans}')
+            ),
+            f as (
+              select *,
+                     lag(turn_idx) over w as prev_turn,
+                     lag(span_text) over w as prev_text
+              from s window w as (partition by conv_id order by turn_idx, phys, seq)
+            ),
+            g as (
+              select *,
+                     sum(case when prev_turn is not null
+                               and question_number is null
+                               and turn_idx = prev_turn + 1
+                               and prev_text is not null
+                               and length(trim(prev_text)) > 0
+                               and not regexp_matches(prev_text, '{term_re}')
+                          then 0 else 1 end)
+                       over (partition by conv_id order by turn_idx, phys, seq) as seg1
+              from f
+            )
+            select conv_id,
+                   cast(seg1 - 1 as int) as segment,
+                   cast(min(turn_idx) as int) as turn_first,
+                   cast(max(turn_idx) as int) as turn_last,
+                   cast(max(question_number) as int) as question_number,
+                   case when count(*) > 1
+                        then string_agg(coalesce(span_text, ''), chr(10)
+                                        order by turn_idx, phys, seq)
+                        else min(span_text) end as span_text,
+                   cast(count(*) as int) as n_parts
+            from g group by conv_id, seg1
+        """,
+        "x_dup_spans": _fp_cte(
+            source=f"read_parquet('{spans}')",
+            id_sql="conv_id || '#' || cast(turn_idx as varchar) || '#' || cast(seq as varchar)",
+            text_sql="span_text",
+        )
+        + """
+        , keep as (select fp from fp group by fp having count(distinct doc_id) <= 20)
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               cast(count(*) as bigint) as n_shared
+        from fp a join fp b on a.fp = b.fp and a.doc_id < b.doc_id
+        where a.fp in (select fp from keep)
+        group by 1, 2 having count(*) >= 8
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from xtract import queries as qmod
 
-    return dict(qmod.ORACLE)
+    out = dict(qmod.ORACLE)
+    out.update(_extraction_oracles())
+    return out

@@ -84,12 +84,24 @@ FP_SCHEMA = T.StructType(
     ]
 )
 
+FP_SCHEMA_STR = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
 
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, text) → one row per distinct winnowed fingerprint. Narrow
-    kernel, no shuffle; column pruning pushes to the scan."""
+    kernel, no shuffle; column pruning pushes to the scan. String ids
+    pass through unchanged (restatable cross-engine, unlike a hashed
+    key); everything else folds to long."""
+    is_str = dict(docs.dtypes)[id_col] == "string"
+    out_schema = FP_SCHEMA_STR if is_str else FP_SCHEMA
+    id_expr = F.col(id_col) if is_str else F.col(id_col).cast("long")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,31 +110,37 @@ def fingerprints(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 f = fingerprints_np(text)
                 if len(f):
-                    ids.append(np.full(len(f), int(doc_id), dtype=np.int64))
+                    key = doc_id if is_str else int(doc_id)
+                    ids.append(np.full(len(f), key, dtype=object if is_str else np.int64))
                     fps.append(f)
             if ids:
                 yield pd.DataFrame(
                     {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
                 )
 
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(kernel, schema=FP_SCHEMA)
+    return docs.select(id_expr.alias(id_col), F.col(text_col).alias(text_col)).mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def span_key():
+    """The spans' natural key folded to one string column — the same
+    expression is restatable in DuckDB (``conv_id || '#' || …``), so
+    dup_spans output is directly oracle-comparable."""
+    return F.concat_ws("#", "conv_id", "turn_idx", "seq")
 
 
 def dup_spans(
     spans: DataFrame, min_shared: int = 4, max_df: int = 20
 ) -> DataFrame:
     """Duplicate-question detection over extracted spans: winnowing
-    fingerprints of span_text keyed by xxhash64(conv_id, turn_idx,
-    seq) (the spans' natural key, folded to one long for the
-    inverted-index join), then shared-fingerprint pairs. The
-    training-data dedup step applied to the engine's own output —
-    repeated exam questions across conversations surface as pairs.
-    Keys join back to spans via the same xxhash64 expression."""
+    fingerprints of span_text keyed by the spans' natural key
+    (conv_id#turn_idx#seq — one sortable string, identical in SQL),
+    then shared-fingerprint pairs. The training-data dedup step
+    applied to the engine's own output — repeated exam questions
+    across conversations surface as pairs."""
     keyed = spans.select(
-        F.xxhash64("conv_id", "turn_idx", "seq").alias("doc_id"),
-        F.col("span_text").alias("text"),
+        span_key().alias("doc_id"), F.col("span_text").alias("text")
     )
     return shared_pairs(fingerprints(keyed), min_shared=min_shared, max_df=max_df)
 
@@ -136,6 +154,68 @@ def winnow_summary(fps: DataFrame) -> DataFrame:
         F.max("fp").alias("fp_max"),
         F.sum("fp").cast("long").alias("fp_sum"),
     )
+
+
+def word_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → distinct word-bigram set per doc ([a-z0-9]+ token
+    stream). The exact-scoring feature for near-dup candidates."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+
+
+def jaccard_score_pairs(candidates: DataFrame, grams: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard over CANDIDATE pairs only — the composed
+    near-dup operator: cheap recall stage (inverted-index candidates
+    from shared_pairs / minhash bands) → exact precision stage. Two
+    equi-joins attach each side's gram set; cost scales with candidate
+    count, never |doc|² (the staged-filtering strategy the reference
+    documents: cheap prune before expensive check,
+    docs/题目分割优化方案.md:356-370).
+
+    ``candidates`` needs (doc_a, doc_b); extra columns (n_shared) pass
+    through. ``grams`` is word_bigrams() output. jaccard integerized
+    to ppm for cross-engine hashing."""
+    extra = [c for c in candidates.columns if c not in ("doc_a", "doc_b")]
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.greatest(F.size(F.array_distinct(F.concat("ga", "gb"))), F.lit(1))
+    return (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *extra,
+            F.floor(F.lit(1000000.0) * inter / uni).cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+def near_dup_scored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 4,
+    max_df: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup scoring: winnowing-fingerprint candidates
+    (inverted index + stop-gram cap) → exact word-bigram Jaccard on
+    candidates only."""
+    keyed = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    cands = shared_pairs(fingerprints(keyed), min_shared=min_shared, max_df=max_df)
+    return jaccard_score_pairs(cands, word_bigrams(keyed))
 
 
 def shared_pairs(

@@ -848,45 +848,59 @@ def simhash16(spark, sf_dir):
                   else [] end as grams
       from (select doc_id, regexp_extract_all(text, '[a-z0-9]+') as toks
             from documents where doc_id % 10 = 0)
+    ),
+    e as (select doc_id, unnest(grams) as gram from g),
+    keep as (select gram from e group by gram having count(distinct doc_id) <= 20),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from (select e.doc_id, e.gram from e join keep using (gram)) a
+      join (select e.doc_id, e.gram from e join keep using (gram)) b
+        on a.gram = b.gram and a.doc_id < b.doc_id
     )
-    select a.doc_id as doc_a, b.doc_id as doc_b,
+    select c.doc_a, c.doc_b,
            cast(floor(1000000.0
-             * len(list_intersect(a.grams, b.grams))
-             / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1)
+             * len(list_intersect(ga.grams, gb.grams))
+             / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1)
            ) as bigint) as jaccard_ppm
-    from g a join g b on a.doc_id < b.doc_id
-    where len(list_intersect(a.grams, b.grams)) > 0
+    from cand c
+    join g ga on ga.doc_id = c.doc_a
+    join g gb on gb.doc_id = c.doc_b
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Word-bigram Jaccard similarity over a deterministic 10% sample
-    (n-gram near-dup scoring). Integerized to ppm."""
+    """Word-bigram Jaccard over a deterministic 10% sample — in the
+    100-TB shape: candidate pairs come from an INVERTED INDEX on the
+    grams themselves (explode → doc-frequency cap ≤ 20 drops stop
+    grams → gram-key equi self-join), then exact Jaccard is computed
+    only for candidates. Shuffle volume scales with gram postings, not
+    |doc|²; pairs sharing nothing but stop-grams are (by design) not
+    emitted. Integerized to ppm."""
+    from . import fingerprint as fpm
+
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
-    d = d.select("doc_id", toks.alias("toks"))
-    grams = F.when(
-        F.size("toks") >= 2,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", grams.alias("grams"))
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    uni = F.greatest(F.size(F.array_distinct(F.concat("ga", "gb"))), F.lit(1))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(F.lit(1000000.0) * inter / uni).cast("long").alias("jaccard_ppm"),
-        )
-        .filter(F.size(F.array_intersect("ga", "gb")) > 0)
+    g = fpm.word_bigrams(d)
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    keep = (
+        e.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("gram")
     )
+    e2 = e.join(keep, "gram", "left_semi")
+    cand = (
+        e2.alias("a")
+        .join(
+            e2.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return fpm.jaccard_score_pairs(cand, g)
+
+
+
 
 
 # =====================================================================
@@ -1182,15 +1196,17 @@ def dedup_components(spark, sf_dir):
 # (fingerprint.py; the Arrow kernel is cross-validated here against an
 # explicit SQL restatement of the same polynomial-hash + window-min)
 # =====================================================================
-def _fp_cte() -> str:
+def _fp_cte(
+    source: str = "documents", id_sql: str = "doc_id", text_sql: str = "text"
+) -> str:
     from . import fingerprint as fpm
 
     pw_values = ", ".join(f"({j}, {p})" for j, p in enumerate(fpm.POW_MOD))
     return f"""
     with docs as (
-      select doc_id, substr(text, 1, {fpm.CAP}) as t
-      from documents
-      where length(substr(text, 1, {fpm.CAP})) >= {fpm.K + fpm.W - 1}
+      select {id_sql} as doc_id, substr({text_sql}, 1, {fpm.CAP}) as t
+      from {source}
+      where length(substr({text_sql}, 1, {fpm.CAP})) >= {fpm.K + fpm.W - 1}
     ),
     pw(j, pm) as (values {pw_values}),
     kg as (
@@ -1255,6 +1271,49 @@ def fp_shared_pairs(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return fpm.shared_pairs(fpm.fingerprints(docs), min_shared=4, max_df=20)
+
+
+@q(
+    "near_dup_scored",
+    _fp_cte()
+    + """
+    , keep as (select fp from fp group by fp having count(distinct doc_id) <= 20),
+    cand as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as n_shared
+      from fp a join fp b on a.fp = b.fp and a.doc_id < b.doc_id
+      where a.fp in (select fp from keep)
+      group by 1, 2 having count(*) >= 4
+    ),
+    g as (
+      select doc_id,
+             case when len(toks) >= 2
+                  then list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]))
+                  else [] end as grams
+      from (select doc_id, regexp_extract_all(text, '[a-z0-9]+') as toks
+            from documents)
+    )
+    select c.doc_a, c.doc_b, c.n_shared,
+           cast(floor(1000000.0
+             * len(list_intersect(ga.grams, gb.grams))
+             / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1)
+           ) as bigint) as jaccard_ppm
+    from cand c
+    join g ga on ga.doc_id = c.doc_a
+    join g gb on gb.doc_id = c.doc_b
+    """,
+)
+def near_dup_scored(spark, sf_dir):
+    """Composed near-dup operator (fingerprint.near_dup_scored):
+    winnowing-fingerprint candidates (inverted index + stop-gram cap)
+    → exact word-bigram Jaccard on candidates only. The
+    recall-then-precision staging that survives 100 TB."""
+    from . import fingerprint as fpm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fpm.near_dup_scored(d, min_shared=4, max_df=20)
+
 
 
 # =====================================================================

@@ -103,7 +103,13 @@ def exam_info(blocks: DataFrame) -> DataFrame:
         F.col("block.block_label").alias("label"),
         F.coalesce(F.col("block.block_content"), F.lit("")).alias("content"),
     )
+    return exam_info_flat(b)
 
+
+def exam_info_flat(b: DataFrame) -> DataFrame:
+    """exam_info over the flat block projection (conv_id, turn_idx,
+    block_pos, label, content) — the shape the materialized-oracle
+    queries persist to parquet."""
     titles = (
         b.filter(F.col("label") == "doc_title")
         .groupBy("conv_id", "turn_idx")
