@@ -60,7 +60,13 @@ def test_seeded_corpus_fidelity():
         )
         p = pdf.parse_pdf_py(buf)
         assert p is not None, i
-        want = [b["block_content"] for b in payload["blocks"] if b["block_content"].strip()]
+        # image captions (R10 fixtures) are dropped by make_pdf — images
+        # render as cm+Do boxes with no text to recover
+        want = [
+            b["block_content"]
+            for b in payload["blocks"]
+            if b["block_label"] != "image" and b["block_content"].strip()
+        ]
         got = [b["block_content"] for b in p["blocks"] if b["block_label"] != "image"]
         assert want == got, i
         assert sum(b["block_label"] == "image" for b in payload["blocks"]) == sum(
@@ -195,7 +201,9 @@ def test_read_pdfs_binary_source(spark, tmp_path):
     assert len(rows) == 1 and rows[0].conv_id == "page1.pdf"
     blocks = json.loads(rows[0].text)["blocks"]
     assert [b["block_content"] for b in blocks if b["block_label"] != "image"] == [
-        b["block_content"] for b in payload["blocks"] if b["block_content"].strip()
+        b["block_content"]
+        for b in payload["blocks"]
+        if b["block_label"] != "image" and b["block_content"].strip()
     ]
 
 

@@ -145,10 +145,13 @@ def _payload_b(r: random.Random) -> str:
         y += 100
 
     n_text = r.randint(1, 3)
+    q_starts: list[int] = []
     for _ in range(n_text):
         merged = r.random() < 0.6
         qcount = r.randint(2, 4) if merged else 1
-        content = _question_text(r, r.randint(1, 12), qcount, newline_p=1.0)
+        q_start = r.randint(1, 12)
+        q_starts.append(q_start)
+        content = _question_text(r, q_start, qcount, newline_p=1.0)
         n_lines = content.count("\n") + 1
         h = 45 * n_lines + 14
         tb = [120, y, width - 120, y + h]
@@ -201,6 +204,14 @@ def _payload_b(r: random.Random) -> str:
                 [tb[2] + hgap, icy - 100, tb[2] + hgap + 240, icy + 100],
             )
         y += 40
+    # R10 fixture: an appendix figure whose caption names the FIRST
+    # question (第N题图) but sits at the page bottom — spatially
+    # nearest the LAST text block (or out of range entirely), so only
+    # the caption join binds it to the right question
+    if q_starts and r.random() < 0.35:
+        iy = y + r.randint(0, 60)
+        add("image", f"图注：第{q_starts[0]}题图", [700, iy, 1200, iy + 220])
+        y = iy + 280
     if r.random() < 0.2:
         add("aside_text", "本卷共4页", [120, y, 400, y + 40])
         y += 60

@@ -36,10 +36,16 @@ MERGED_SCHEMA = (
 )
 
 
+CAPTION_RE = r"第(\d+)题图"
+
+
 def image_blocks(blocks: DataFrame) -> DataFrame:
     """Image-side input: one row per image block, bbox unpacked and the
     array ordinal kept (candidate iteration order, the distance-sort
-    tie-break — question_merger.py:164,215)."""
+    tie-break — question_merger.py:164,215). ``cap_qn`` is the R10
+    caption-named question number (第N题图 in the image's own content,
+    docs/试卷切题问题分析与优化方案.md:118-133) — parsed natively so the
+    whole image side stays inside codegen; null when uncaptioned."""
     img = blocks.filter(
         (F.col("block.block_label") == "image")
         & (F.size("block.block_bbox") == 4)
@@ -53,6 +59,14 @@ def image_blocks(blocks: DataFrame) -> DataFrame:
         F.col("block.block_bbox")[1].alias("iy1"),
         F.col("block.block_bbox")[2].alias("ix2"),
         F.col("block.block_bbox")[3].alias("iy2"),
+        F.nullif(
+            F.regexp_extract(
+                F.coalesce(F.col("block.block_content"), F.lit("")), CAPTION_RE, 1
+            ),
+            F.lit(""),
+        )
+        .cast("int")
+        .alias("cap_qn"),
     )
 
 
@@ -75,12 +89,35 @@ def _greedy_lists(sp_rows, im_rows) -> list[dict]:
         icy = (it + ib) / 2
         used = np.zeros(len(imgs), dtype=bool)
     else:
+        imgs = []
         used = np.zeros(0, dtype=bool)
+
+    # R10 caption pre-pass: 第N题图 binds the image to the FIRST span
+    # numbered N, before (and shielded from) the spatial walk
+    cap_for: dict[int, list[int]] = {}
+    if imgs:
+        by_qn: dict[int, int] = {}
+        for si, s in enumerate(spans):
+            qn = s["question_number"]
+            if qn is not None and qn not in by_qn:
+                by_qn[int(qn)] = si
+        for k, i_ in enumerate(imgs):
+            cqn = i_.get("cap_qn") if hasattr(i_, "get") else i_["cap_qn"]
+            if cqn is None:
+                continue
+            si = by_qn.get(int(cqn))
+            if si is None:
+                continue
+            used[k] = True
+            cap_for.setdefault(si, []).append(k)
 
     for order, row in enumerate(spans):
         tb = list(row["bbox"]) if row["bbox"] is not None else []
         ids: list[int] = []
         boxes: list[list[int]] = []
+        for k in cap_for.get(order, []):
+            ids.append(int(iid[k]))
+            boxes.append([int(il[k]), int(it[k]), int(ir[k]), int(ib[k])])
         if len(tb) == 4 and len(used):
             tl, tt, tr, tbot = (int(v) for v in tb)
             tcx = (tl + tr) / 2
@@ -126,7 +163,9 @@ def _greedy_lists(sp_rows, im_rows) -> list[dict]:
                     boxes.append([int(il[k]), int(it[k]), int(ir[k]), int(ib[k])])
 
         if boxes:
-            allb = [[int(v) for v in tb]] + boxes
+            # invalid text bbox possible when only caption bindings
+            # exist (they skip spatial candidacy's P3 gate on tb)
+            allb = ([[int(v) for v in tb]] if len(tb) == 4 else []) + boxes
             bbox = [
                 min(b[0] for b in allb),
                 min(b[1] for b in allb),
@@ -183,13 +222,16 @@ def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
         "split_from_merged",
         "source_block_id",
     )
-    img_struct = F.struct("img_pos", "img_id", "ix1", "iy1", "ix2", "iy2")
+    img_struct = F.struct(
+        "img_pos", "img_id", "ix1", "iy1", "ix2", "iy2", "cap_qn"
+    )
     tagged = spans.select(
         "conv_id",
         "turn_idx",
         span_struct.alias("s"),
         F.lit(None).cast(
-            "struct<img_pos:int,img_id:int,ix1:int,iy1:int,ix2:int,iy2:int>"
+            "struct<img_pos:int,img_id:int,ix1:int,iy1:int,ix2:int,iy2:int,"
+            "cap_qn:int>"
         ).alias("i"),
     ).unionByName(
         images.select(
@@ -232,7 +274,14 @@ def merge_greedy(spans: DataFrame, images: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- rank1 path
 def merge_rank1(spans: DataFrame, images: DataFrame) -> DataFrame:
     """Join-based fast path. One equi-key (turn) + theta predicate join,
-    two windows, one aggregation — all AQE/skew-join eligible."""
+    two windows, one aggregation — all AQE/skew-join eligible.
+
+    R10 caption binding runs as a separate EQUI join (turn +
+    question_number — the explicit key parsed from 第N题图 captions)
+    whose claims are anti-joined out of the spatial candidate pool;
+    caption rows enter the final per-text aggregation with sort key
+    distance=-1 so they lead the image_ids list, matching the greedy
+    walk's caption-first order."""
     t = spans.select(
         "conv_id",
         "turn_idx",
@@ -248,7 +297,44 @@ def merge_rank1(spans: DataFrame, images: DataFrame) -> DataFrame:
         F.col("bbox")[2].alias("tx2"),
         F.col("bbox")[3].alias("ty2"),
     )
-    i = images
+    # R10: first span per (turn, question_number) is the caption target
+    first_w = Window.partitionBy("conv_id", "turn_idx", "question_number").orderBy(
+        "block_pos", "span_ord"
+    )
+    first_span = (
+        t.filter(F.col("question_number").isNotNull())
+        .withColumn("frk", F.row_number().over(first_w))
+        .filter(F.col("frk") == 1)
+        .select("conv_id", "turn_idx", "question_number", "block_pos", "span_ord")
+    )
+    cap_assign = (
+        images.filter(F.col("cap_qn").isNotNull())
+        .alias("img")
+        .join(
+            first_span.alias("fs"),
+            (F.col("img.conv_id") == F.col("fs.conv_id"))
+            & (F.col("img.turn_idx") == F.col("fs.turn_idx"))
+            & (F.col("img.cap_qn") == F.col("fs.question_number")),
+        )
+        .select(
+            F.col("img.conv_id").alias("conv_id"),
+            F.col("img.turn_idx").alias("turn_idx"),
+            F.col("fs.block_pos").alias("block_pos"),
+            F.col("fs.span_ord").alias("span_ord"),
+            "img_pos",
+            "img_id",
+            "ix1",
+            "iy1",
+            "ix2",
+            "iy2",
+            F.lit(-1).alias("distance"),
+        )
+    )
+    i = images.join(
+        cap_assign.select("conv_id", "turn_idx", "img_id"),
+        ["conv_id", "turn_idx", "img_id"],
+        "left_anti",
+    )
 
     tcx = (F.col("tx1") + F.col("tx2")) / 2
     tcy = (F.col("ty1") + F.col("ty2")) / 2
@@ -319,7 +405,13 @@ def merge_rank1(spans: DataFrame, images: DataFrame) -> DataFrame:
         F.col("irk") == 1
     )
 
-    assigned = won.groupBy("conv_id", "turn_idx", "block_pos", "span_ord").agg(
+    claim_cols = [
+        "conv_id", "turn_idx", "block_pos", "span_ord",
+        "img_pos", "img_id", "ix1", "iy1", "ix2", "iy2", "distance",
+    ]
+    claims = won.select(*claim_cols).unionByName(cap_assign.select(*claim_cols))
+
+    assigned = claims.groupBy("conv_id", "turn_idx", "block_pos", "span_ord").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(

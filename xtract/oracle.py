@@ -427,22 +427,55 @@ def candidates_for(
     return cands[: LIMITS.max_images_per_question]
 
 
+_RX_CAPTION = re.compile(r"第(\d+)题图")
+
+
 def merge_turn(
     text_blocks: list[dict[str, Any]], image_blocks: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:
     """Greedy exclusive text↔image assignment in text-block order
     (question_merger.py:38-133). VL verification replaced by the
-    spatial-confidence ≥ 0.85 rule (SURVEY.md §2.9 X2)."""
+    spatial-confidence ≥ 0.85 rule (SURVEY.md §2.9 X2).
+
+    R10 caption pre-pass (docs/试卷切题问题分析与优化方案.md:118-133):
+    an image whose caption text names its question (第N题图) is bound
+    to the FIRST text block carrying question_number N — before, and
+    regardless of, spatial candidacy. Caption-bound images are marked
+    used, so they can never be claimed spatially by a closer competitor.
+    The bbox-validity gate (P3) applies to caption images too; the
+    spatial top-8 cap does not (the binding is explicit)."""
     used: set = set()
+    cap_for: dict[int, list[dict[str, Any]]] = {}
+    by_qn: dict[int, int] = {}
+    for ti, tblk in enumerate(text_blocks):
+        qn = tblk.get("question_number")
+        if qn is not None and qn not in by_qn:
+            by_qn[qn] = ti
+    for img in image_blocks:
+        m = _RX_CAPTION.search(img.get("block_content") or "")
+        if not m or len(img.get("block_bbox") or []) != 4:
+            continue
+        ti = by_qn.get(int(m.group(1)))
+        if ti is None:
+            continue
+        used.add(img.get("block_id"))
+        cap_for.setdefault(ti, []).append(img)
+
     merged = []
-    for tblk in text_blocks:
+    for ti, tblk in enumerate(text_blocks):
         cands = candidates_for(tblk, image_blocks, used)
-        verified = [c for c in cands if c["confidence"] >= LIMITS.spatial_confidence_threshold]
-        for c in verified:
+        spatial = [c for c in cands if c["confidence"] >= LIMITS.spatial_confidence_threshold]
+        verified = [{"block": b} for b in cap_for.get(ti, [])] + spatial
+        for c in spatial:
             used.add(c["block"].get("block_id"))
         tb = tblk.get("block_bbox", [])
         if verified:
-            boxes = [tb] + [c["block"].get("block_bbox", []) for c in verified]
+            # tb can be invalid when the ONLY bindings are caption ones
+            # (spatial candidacy requires a valid text bbox, captions
+            # don't) — exclude it from the merged-box extrema then
+            boxes = ([tb] if len(tb) == 4 else []) + [
+                c["block"].get("block_bbox", []) for c in verified
+            ]
             bbox = [
                 int(min(b[0] for b in boxes)),
                 int(min(b[1] for b in boxes)),

@@ -366,6 +366,64 @@ def j5_broadcast_lookup(spark, sf_dir):
     )
 
 
+@q(
+    "r10_caption_join",
+    """
+    select img_id,
+           cast(coalesce(qn_key, (img_id * 7) % 25) as int) as qn,
+           case when qn_key is not null then 'caption' else 'spatial' end as via
+    from (
+      select p_partkey as img_id,
+             cast(nullif(regexp_extract(
+               case when p_partkey % 3 = 0
+                    then '图注 第' || cast(p_partkey % 30 as varchar) || '题图'
+                    else p_name end,
+               '第(\\d+)题图', 1), '') as int) as cap_qn
+      from part
+    ) i
+    left join (select n_nationkey as qn_key from nation) n
+      on i.cap_qn = n.qn_key
+    """,
+)
+def r10_caption_join(spark, sf_dir):
+    """R10 caption-join precedence (merge.py CAPTION_RE; reference
+    docs/试卷切题问题分析与优化方案.md:118-133) on the driver tables:
+    parse an explicit 第N题图 key out of a caption string, resolve it
+    against a BROADCAST question dim, and only fall back to the
+    deterministic 'spatial' assignment when the caption is absent or
+    names a question that doesn't exist (% 30 keys 25-29 miss the
+    25-row dim). The extraction analogue is merge_rank1's cap_assign
+    equi-join."""
+    from . import merge as merge_mod
+
+    p = t(spark, sf_dir, "part")
+    caption = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(
+            F.lit("图注 第"),
+            (F.col("p_partkey") % 30).cast("string"),
+            F.lit("题图"),
+        ),
+    ).otherwise(F.col("p_name"))
+    img = p.select(
+        F.col("p_partkey").alias("img_id"),
+        F.nullif(F.regexp_extract(caption, merge_mod.CAPTION_RE, 1), F.lit(""))
+        .cast("int")
+        .alias("cap_qn"),
+    )
+    dim = F.broadcast(
+        t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("qn_key"))
+    )
+    joined = img.join(dim, img["cap_qn"] == dim["qn_key"], "left")
+    return joined.select(
+        "img_id",
+        F.coalesce("qn_key", (F.col("img_id") * 7) % 25).cast("int").alias("qn"),
+        F.when(F.col("qn_key").isNotNull(), "caption")
+        .otherwise("spatial")
+        .alias("via"),
+    )
+
+
 # =====================================================================
 # G-family — geometry as column arithmetic
 # =====================================================================
