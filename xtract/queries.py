@@ -840,6 +840,83 @@ def emb_cosine_top5(spark, sf_dir):
     )
 
 
+_LSH_PLANES_GLOB = "/tmp/xtract_mat/sf0.01/lsh_planes/*.parquet"
+
+@q(
+    "ann_lsh_top5",
+    f"""
+    with planes as (select tbl, j, w from read_parquet('{_LSH_PLANES_GLOB}')),
+    e as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    sigs as (
+      select e.vec_id as id, p.tbl as tbl,
+             cast(sum(case when list_sum(list_transform(range(1, 65),
+                               i -> e.v[i] * p.w[i])) > 0
+                      then cast(pow(2, p.j) as bigint) else 0 end) as bigint) as sig
+      from e cross join planes p
+      group by e.vec_id, p.tbl
+    ),
+    cand as (
+      select distinct q.id as qid, c.id as nid
+      from (select * from sigs where id < 20) q
+      join sigs c on q.tbl = c.tbl and q.sig = c.sig and c.id <> q.id
+    ),
+    scored as (
+      select cand.qid, cand.nid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> eq.v[i] * ec.v[i]))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> eq.v[i] * eq.v[i])))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ec.v[i] * ec.v[i])))
+             , 6) as s6
+      from cand join e eq on eq.vec_id = cand.qid
+                join e ec on ec.vec_id = cand.nid
+    )
+    select qid, rk, nid, round(s6, 4) + 0.0 as score from (
+      select qid, nid, s6,
+             row_number() over (partition by qid order by s6 desc, nid) as rk
+      from scored
+    ) where rk <= 5
+    """,
+)
+def ann_lsh_top5(spark, sf_dir):
+    """The LSH SCALE path on the driver's hard signal (not just the
+    brute-force baseline): random-hyperplane signatures -> per-table
+    bucket equi-join candidates -> exact cosine rerank
+    (similarity.lsh_topk). The seeded planes are materialized to
+    parquet so DuckDB independently recomputes signatures, buckets,
+    candidates, and the rerank from the same planes. Rank order uses
+    the 6dp score (lsh_topk contract); output re-rounds to 4dp, and
+    the oracle mirrors the double rounding."""
+    import pandas as pd
+
+    from . import mat, similarity
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def build_planes():
+        rows = []
+        for tb in range(4):
+            pl = similarity._planes(64, 8, tb)
+            for j in range(8):
+                rows.append({"tbl": tb, "j": j, "w": pl[j].tolist()})
+        return spark.createDataFrame(
+            pd.DataFrame(rows), schema="tbl int, j int, w array<double>"
+        )
+
+    mat.materialize(spark, sf_dir, "lsh_planes", build_planes)
+    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qset = corpus.filter(F.col("id") < 20)
+    out = similarity.lsh_topk(corpus, qset, k=5, n_planes=8, n_tables=4, dim=64)
+    return out.select(
+        F.col("query_id").alias("qid"),
+        F.col("rank").alias("rk"),
+        F.col("neighbor_id").alias("nid"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
 @q(
     "simhash16",
     """
@@ -1371,6 +1448,71 @@ def near_dup_scored(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return fpm.near_dup_scored(d, min_shared=4, max_df=20)
+
+
+def _minhash128_sql() -> str:
+    from . import minhash as mh
+
+    pw_values = ", ".join(
+        f"({j}, {pow(mh.B, mh.K - 1 - j, mh.M)})" for j in range(mh.K)
+    )
+    return f"""
+    with docs as (
+      select doc_id, substr(text, 1, {mh.CAP}) as t
+      from documents
+      where length(substr(text, 1, {mh.CAP})) >= {mh.K}
+    ),
+    pw(j, pm) as (values {pw_values}),
+    kg as (
+      select d.doc_id, g.p,
+             cast(sum(cast(unicode(substr(d.t, g.p + pw.j, 1)) as bigint)
+                      * cast(pw.pm as bigint)) % {mh.M} as bigint) as h
+      from docs d
+      join generate_series(1, {mh.CAP}) as g(p)
+        on g.p <= length(d.t) - {mh.K - 1}
+      cross join pw
+      group by d.doc_id, g.p
+    ),
+    perm as (
+      select cast(i as bigint) as i,
+             ((i + 1) * {mh._A_MUL} + 1) % {mh.M} as a,
+             ((i + 1) * {mh._B_MUL} + 7) % {mh.M} as b
+      from range({mh.NPERM}) t(i)
+    ),
+    sig as (
+      select kg.doc_id, perm.i,
+             min((perm.a * kg.h + perm.b) % {mh.M}) as s
+      from kg cross join perm
+      group by kg.doc_id, perm.i
+    ),
+    bands as (
+      select doc_id, cast(i // {mh.ROWS} as int) as band,
+             md5(string_agg(cast(s as varchar), ',' order by i)) as bkey
+      from sig group by doc_id, i // {mh.ROWS}
+    ),
+    keep as (
+      select band, bkey from bands group by band, bkey having count(*) <= 50
+    ),
+    kept as (select b.* from bands b join keep using (band, bkey))
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           cast(count(*) as bigint) as n_bands
+    from kept a join kept b
+      on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+    group by 1, 2
+    """
+
+
+@q("minhash128_pairs", _minhash128_sql())
+def minhash128_pairs(spark, sf_dir):
+    """Production-parameterized MinHash LSH (xtract/minhash.py: 128
+    affine permutations over polynomial shingle hashes, 32 bands x 4
+    rows, bucket-size skew cap): candidate pairs sharing >=1 band
+    bucket, with the full signature/banding pipeline independently
+    recomputed by DuckDB from the same arithmetic."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mh.candidate_pairs(d, max_bucket=50)
 
 
 
