@@ -206,6 +206,24 @@ def _extraction_queries() -> dict[str, Callable]:
             "n_parts",
         )
 
+    def x_assemble_sparse(spark, sf_dir):
+        """Boundary-only assembly (assemble.merge_continuations_sparse
+        — the no-span-shuffle scale plan). The oracle restates the
+        DENSE algorithm in SQL, so this row cross-checks two different
+        algorithms, not two copies of one."""
+        from xtract import assemble
+
+        return assemble.merge_continuations_sparse(_spans_mat(spark, sf_dir)).select(
+            "conv_id",
+            "head_turn",
+            "head_seq",
+            "turn_first",
+            "turn_last",
+            "question_number",
+            "span_text",
+            "n_parts",
+        )
+
     def x_dup_spans(spark, sf_dir):
         """Near-duplicate question pairs over the engine's own
         extracted spans (winnowing fingerprints; fingerprint.dup_spans,
@@ -226,6 +244,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_analyze_groups": x_analyze_groups,
         "x_pdf_extract": x_pdf_extract,
         "x_assemble": x_assemble,
+        "x_assemble_sparse": x_assemble_sparse,
         "x_dup_spans": x_dup_spans,
     }
 
@@ -350,6 +369,43 @@ def _extraction_oracles() -> dict[str, str]:
             )
             select conv_id,
                    cast(seg1 - 1 as int) as segment,
+                   cast(min(turn_idx) as int) as turn_first,
+                   cast(max(turn_idx) as int) as turn_last,
+                   cast(max(question_number) as int) as question_number,
+                   case when count(*) > 1
+                        then string_agg(coalesce(span_text, ''), chr(10)
+                                        order by turn_idx, phys, seq)
+                        else min(span_text) end as span_text,
+                   cast(count(*) as int) as n_parts
+            from g group by conv_id, seg1
+        """,
+        "x_assemble_sparse": f"""
+            with s as (
+              select conv_id, turn_idx, seq, question_number, span_text,
+                     cast(case when len(bbox) = 4 then bbox[2] else seq end as int) as phys
+              from read_parquet('{spans}')
+            ),
+            f as (
+              select *,
+                     lag(turn_idx) over w as prev_turn,
+                     lag(span_text) over w as prev_text
+              from s window w as (partition by conv_id order by turn_idx, phys, seq)
+            ),
+            g as (
+              select *,
+                     sum(case when prev_turn is not null
+                               and question_number is null
+                               and turn_idx = prev_turn + 1
+                               and prev_text is not null
+                               and length(trim(prev_text)) > 0
+                               and not regexp_matches(prev_text, '{term_re}')
+                          then 0 else 1 end)
+                       over (partition by conv_id order by turn_idx, phys, seq) as seg1
+              from f
+            )
+            select conv_id,
+                   cast(min(turn_idx) as int) as head_turn,
+                   cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,
                    cast(min(turn_idx) as int) as turn_first,
                    cast(max(turn_idx) as int) as turn_last,
                    cast(max(question_number) as int) as question_number,

@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
         help="optional sink for cross-turn continuation-merged segments",
     )
     ap.add_argument(
+        "--assembled-mode",
+        default="dense",
+        choices=["dense", "sparse"],
+        help="dense = per-conversation segment ordinals (one conv_id "
+        "shuffle of all spans); sparse = boundary-only plan keyed by "
+        "head-span identity (the span table never shuffles)",
+    )
+    ap.add_argument(
         "--dup-pairs",
         default=None,
         help="optional sink for near-duplicate span pairs (winnowing fingerprints)",
@@ -127,9 +135,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.assembled:
         from xtract import assemble
 
+        asm_fn = (
+            assemble.merge_continuations_sparse
+            if args.assembled_mode == "sparse"
+            else assemble.merge_continuations
+        )
         catalog.write_ref(
-            assemble.merge_continuations(catalog.read_ref(spark, args.output)),
-            args.assembled,
+            asm_fn(catalog.read_ref(spark, args.output)), args.assembled
         )
     if args.dup_pairs:
         from xtract import fingerprint

