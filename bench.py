@@ -21,6 +21,10 @@ import pyspark.sql.functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# cache tag: bump when xtract/gen.py payload generation changes, so a
+# stale /tmp corpus from an older build can never be benchmarked
+GEN_TAG = "r2"
+
 BENCH_QUERIES = [
     "a1_pricing_summary",
     "w3_lead_gaps",
@@ -34,6 +38,10 @@ BENCH_QUERIES = [
     "simhash16",
     "emb_cosine_top5",
     "ngram_jaccard_pairs",
+    "near_dup_scored",
+    "minhash128_pairs",
+    "ann_lsh_top5",
+    "r10_caption_join",
     "tumbling_1h",
     "fp_winnow",
 ]
@@ -50,7 +58,7 @@ def sf_of(path: str) -> float:
 def cached_transcripts(spark, n_convs: int, parts: int = 64) -> str:
     from xtract import gen
 
-    path = f"/tmp/xtract_bench/transcripts_{n_convs}.parquet"
+    path = f"/tmp/xtract_bench/transcripts_{GEN_TAG}_{n_convs}.parquet"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         gen.transcripts(spark, n_convs, partitions=parts).write.mode(
@@ -97,7 +105,7 @@ def main() -> None:
     from xtract import gen as gen_mod
     from xtract import html as html_mod
 
-    hpath = "/tmp/xtract_bench/html_{}.parquet".format(max(500, int(20000 * sf)))
+    hpath = "/tmp/xtract_bench/html_{}_{}.parquet".format(GEN_TAG, max(500, int(20000 * sf)))
     if not os.path.exists(os.path.join(hpath, "_SUCCESS")):
         gen_mod.html_transcripts(spark, max(500, int(20000 * sf))).write.mode(
             "overwrite"
@@ -113,7 +121,7 @@ def main() -> None:
     from xtract import pdf as pdf_mod
 
     n_pdfs = max(400, int(8000 * sf))
-    ppath = f"/tmp/xtract_bench/pdfs_{n_pdfs}.parquet"
+    ppath = f"/tmp/xtract_bench/pdfs_{GEN_TAG}_{n_pdfs}.parquet"
     if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
         pdf_mod.gen_pdf_turns(spark, n_pdfs, partitions=CPUS * 2).write.mode(
             "overwrite"
@@ -136,6 +144,17 @@ def main() -> None:
         F.count("*")
     ).collect()
     timings["extract_relational_rank1_slice"] = round(time.monotonic() - t0, 3)
+
+    # cross-turn assembly: dense (one conv shuffle) vs boundary-only
+    from xtract import assemble as asm_mod
+
+    spans_cached = pipeline.extract(tr, mode="fused")
+    t0 = time.monotonic()
+    asm_mod.merge_continuations(spans_cached).agg(F.count("*")).collect()
+    timings["assemble_dense"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    asm_mod.merge_continuations_sparse(spans_cached).agg(F.count("*")).collect()
+    timings["assemble_sparse"] = round(time.monotonic() - t0, 3)
 
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]

@@ -125,3 +125,90 @@ def test_pdf_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_assemble_stream_matches_batch_sparse(spark, tmp_path):
+    """Streaming continuation assembly: spans arrive in TWO
+    micro-batches split at a turn boundary (maxFilesPerTrigger=1, file
+    mtimes ordered); reconstructing final rows + latest open tails must
+    equal the batch boundary-only assembly segment-for-segment —
+    including chains cut BY the batch boundary itself."""
+    import os
+    import time as time_mod
+
+    from xtract import assemble, gen
+
+    spans = pipeline.extract(gen.transcripts(spark, 16, partitions=4), mode="fused")
+    spans = spans.select(
+        "conv_id", "turn_idx", "seq", "question_number", "span_text", "bbox"
+    ).cache()
+    mid = spans.agg(F.expr("percentile_approx(turn_idx, 0.5)")).collect()[0][0]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spans.filter(F.col("turn_idx") <= mid).coalesce(1).write.parquet(src + "/b0")
+    spans.filter(F.col("turn_idx") > mid).coalesce(1).write.parquet(src + "/b1")
+    # one data file per directory → move into a flat dir with ordered mtimes
+    import glob as globmod
+    import shutil
+
+    for i, d in enumerate(("b0", "b1")):
+        (f,) = globmod.glob(f"{src}/{d}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+        shutil.rmtree(f"{src}/{d}")
+
+    sschema = (
+        "conv_id string, turn_idx int, seq int, question_number int, "
+        "span_text string, bbox array<int>"
+    )
+    stream = (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(
+        streaming.assemble_stream(stream), out, str(tmp_path / "ck")
+    )
+
+    emitted = spark.read.parquet(out).collect()
+    finals = {}
+    tails = {}
+    for r in emitted:
+        key = (r.conv_id, r.head_turn, r.head_seq)
+        if r.final:
+            finals[key] = r
+        else:
+            # head identity advances monotonically; keep the latest
+            prev = tails.get(r.conv_id)
+            if prev is None or (r.head_turn, r.head_seq, r.n_parts) >= (
+                prev.head_turn,
+                prev.head_seq,
+                prev.n_parts,
+            ):
+                tails[r.conv_id] = r
+    for conv, r in tails.items():
+        key = (conv, r.head_turn, r.head_seq)
+        if key not in finals:
+            finals[key] = r
+
+    got = sorted(
+        (
+            (k[0], r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.qtype, r.score, r.span_text, r.n_parts)
+            for k, r in finals.items()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r.conv_id, r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.qtype, r.score, r.span_text, r.n_parts)
+            for r in assemble.merge_continuations_sparse(spans).collect()
+        ),
+        key=repr,
+    )
+    assert got == want and len(got) > 0
+    spans.unpersist()

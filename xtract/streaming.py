@@ -113,6 +113,171 @@ def running_totals(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- assembly
+# Streaming lift of assemble.merge_continuations_sparse: the sparse
+# form's segment key (head-span identity) is exactly the natural
+# GroupState key shape — per conversation, the only thing a batch
+# boundary can cut is the OPEN tail segment (the one ending at the
+# physically-last span of the latest turn), so that tail is the whole
+# state. Closed segments emit with final=true as soon as the stream
+# proves them closed; the current tail re-emits each batch with
+# final=false (consumers keep, per conv, the latest tail — head
+# identity advances monotonically — unless a final row supersedes it).
+
+ASSEMBLED_STREAM = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("head_turn", T.IntegerType(), False),
+        T.StructField("head_seq", T.IntegerType(), False),
+        T.StructField("turn_first", T.IntegerType(), False),
+        T.StructField("turn_last", T.IntegerType(), False),
+        T.StructField("question_number", T.IntegerType(), True),
+        T.StructField("qtype", T.StringType(), False),
+        T.StructField("score", T.IntegerType(), False),
+        T.StructField("span_text", T.StringType(), True),
+        T.StructField("n_parts", T.IntegerType(), False),
+        T.StructField("final", T.BooleanType(), False),
+    ]
+)
+
+_ASM_STATE = T.StructType(
+    [
+        T.StructField("head_turn", T.IntegerType(), False),
+        T.StructField("head_seq", T.IntegerType(), False),
+        T.StructField("question_number", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_parts", T.IntegerType(), False),
+        T.StructField("turn_last", T.IntegerType(), False),
+        T.StructField("last_text", T.StringType(), True),
+    ]
+)
+
+
+def _asm_fn(key, pdf_iter, state: GroupState):
+    from . import assemble, oracle
+
+    (conv_id,) = key
+    tail = None
+    if state.exists:
+        ht, hs, qn, text, n, tl, lt = state.get
+        tail = {
+            "head_turn": ht,
+            "head_seq": hs,
+            "question_number": qn,
+            "text": text,
+            "n_parts": n,
+            "turn_last": tl,
+            "last_text": lt,
+        }
+
+    rows = []
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            phys = r.phys if not pd.isna(r.phys) else r.seq
+            qn = None if pd.isna(r.question_number) else int(r.question_number)
+            text = None if isinstance(r.span_text, float) and pd.isna(r.span_text) else r.span_text
+            rows.append((int(r.turn_idx), int(phys), int(r.seq), qn, text))
+    rows.sort(key=lambda x: (x[0], x[1], x[2]))
+
+    closed = []
+    for turn, phys, seq, qn, text in rows:
+        cont = (
+            tail is not None
+            and qn is None
+            and turn == tail["turn_last"] + 1
+            and assemble._is_open(tail["last_text"])
+        )
+        if cont:
+            tail["text"] = (tail["text"] or "") + "\n" + (text or "")
+            tail["n_parts"] += 1
+            tail["turn_last"] = turn
+            tail["last_text"] = text
+        else:
+            if tail is not None:
+                closed.append(tail)
+            tail = {
+                "head_turn": turn,
+                "head_seq": seq,
+                "question_number": qn,
+                "text": text,
+                "n_parts": 1,
+                "turn_last": turn,
+                "last_text": text,
+            }
+
+    if tail is not None:
+        state.update(
+            (
+                tail["head_turn"],
+                tail["head_seq"],
+                tail["question_number"],
+                tail["text"],
+                tail["n_parts"],
+                tail["turn_last"],
+                tail["last_text"],
+            )
+        )
+
+    def to_row(seg, final):
+        safe = seg["text"] or ""
+        return {
+            "conv_id": conv_id,
+            "head_turn": seg["head_turn"],
+            "head_seq": seg["head_seq"],
+            "turn_first": seg["head_turn"],
+            "turn_last": seg["turn_last"],
+            "question_number": seg["question_number"],
+            "qtype": oracle.classify_qtype(safe),
+            "score": oracle.extract_score(safe),
+            "span_text": seg["text"],
+            "n_parts": seg["n_parts"],
+            "final": final,
+        }
+
+    out = [to_row(s, True) for s in closed]
+    if tail is not None:
+        out.append(to_row(tail, False))
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in ASSEMBLED_STREAM.fields])
+
+
+def assemble_stream(spans: DataFrame) -> DataFrame:
+    """Streaming cross-turn continuation assembly over a streaming
+    spans DF (schema.SPANS shape; bbox optional). Segments emit
+    final=true the moment a later span proves them closed; the open
+    tail re-emits per batch with final=false. Reconstruction rule for
+    consumers: keep final rows; add each conversation's latest
+    non-final tail unless a final row shares its (head_turn,
+    head_seq).
+
+    Arrival contract: batch-boundary placement is free (a chain cut by
+    a micro-batch is resumed from state — pinned by the parity test),
+    but WITHIN a conversation turns must not arrive out of order
+    across batches (the natural page-crawl order). An out-of-order
+    producer needs a watermark + sort stage upstream."""
+    has_bbox = "bbox" in spans.columns
+    phys = (
+        F.when(F.size(F.col("bbox")) == 4, F.col("bbox")[1]).otherwise(F.col("seq"))
+        if has_bbox
+        else F.col("seq")
+    )
+    keyed = spans.select(
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "question_number",
+        "span_text",
+        phys.cast("int").alias("phys"),
+    )
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        _asm_fn,
+        outputStructType=ASSEMBLED_STREAM,
+        stateStructType=_ASM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_pdf_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming PDF ingestion: watch a directory for new .pdf files
     and emit spans continuously — the fused parse+extract kernel is
