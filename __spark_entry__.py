@@ -236,6 +236,40 @@ def _extraction_queries() -> dict[str, Callable]:
 
         return fingerprint.dup_spans(_spans_mat(spark, sf_dir), min_shared=8)
 
+    def x_rank1_divergence(spark, sf_dir):
+        """The documented rank1-vs-greedy approximation bound as a
+        driver-visible metric row (SURVEY §7.2; pytest bounds it <5%).
+        Span identity must be unaffected; only contended image
+        assignments may differ. Rows-only by nature (compares two
+        Spark plans — no SQL restatement exists)."""
+        greedy = pipeline.extract(
+            _derived_transcripts(spark, sf_dir), mode="relational", merge="greedy"
+        ).select(
+            "conv_id", "turn_idx", "seq",
+            F.to_json("image_ids").alias("imgs_g"),
+        )
+        rank1 = pipeline.extract(
+            _derived_transcripts(spark, sf_dir), mode="relational", merge="rank1"
+        ).select(
+            "conv_id", "turn_idx", "seq",
+            F.to_json("image_ids").alias("imgs_r"),
+        )
+        j = greedy.join(rank1, ["conv_id", "turn_idx", "seq"], "full_outer")
+        return j.agg(
+            F.count("*").cast("long").alias("spans"),
+            F.count_if(
+                F.col("imgs_g").isNull() | F.col("imgs_r").isNull()
+            ).cast("long").alias("identity_mismatches"),
+            F.count_if(F.col("imgs_g") != F.col("imgs_r")).cast("long").alias(
+                "diverging_assignments"
+            ),
+            F.floor(
+                10000
+                * F.count_if(F.col("imgs_g") != F.col("imgs_r"))
+                / F.greatest(F.count("*"), F.lit(1))
+            ).cast("long").alias("divergence_bp"),
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -246,6 +280,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_assemble": x_assemble,
         "x_assemble_sparse": x_assemble_sparse,
         "x_dup_spans": x_dup_spans,
+        "x_rank1_divergence": x_rank1_divergence,
     }
 
 

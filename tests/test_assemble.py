@@ -167,3 +167,40 @@ def test_sparse_plan_never_shuffles_span_table(spark):
         assemble.merge_continuations_sparse(spans).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_sparse_mega_conversation_and_fuzz(spark):
+    """Skew + fuzz: one mega-conversation (many spans per turn) plus
+    randomized small conversations — sparse must equal dense, and the
+    digest bound holds (boundary rows = 2 per multi-span turn)."""
+    import random
+
+    r = random.Random(20260817)
+    by_conv = {}
+    # mega: 40 turns x 25 spans (digest reduces 1000 spans -> 80 rows)
+    mega = []
+    for t_ in range(40):
+        for s_ in range(25):
+            qn = None if (s_ == 0 and r.random() < 0.5) else s_ + 1
+            text = r.choice(
+                ["1、题目完整。", "2、未结束的题干", "continuation body", "说明：见下页"]
+            )
+            mega.append(span(t_, s_, qn, text))
+    by_conv["mega"] = mega
+    # fuzz: random small convs with open/closed tails, gaps, nulls
+    for c in range(25):
+        rows = []
+        t_ = 0
+        for _ in range(r.randint(1, 6)):
+            t_ += r.choice([1, 1, 1, 2])  # occasional turn gaps
+            for s_ in range(r.randint(1, 3)):
+                qn = None if r.random() < 0.4 else r.randint(1, 9)
+                text = r.choice(
+                    [None, "", "完整句子。", "被切断的内容", "x（5分）", "继续上一页"]
+                )
+                rows.append(span(t_, s_, qn, text))
+        by_conv[f"fz{c}"] = rows
+    df = spans_df(spark, by_conv)
+    assert _sparse_set(assemble.merge_continuations_sparse(df)) == _dense_set(
+        assemble.merge_continuations(df)
+    )

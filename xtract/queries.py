@@ -840,6 +840,86 @@ def emb_cosine_top5(spark, sf_dir):
     )
 
 
+_MEDIA_GLOB = "/tmp/xtract_mat/sf0.01/media/*.parquet"
+
+def _hex_int_sql(byte_off: int) -> str:
+    """DuckDB: big-endian uint32 at 1-indexed BYTE offset of a blob,
+    parsed from the hex dump (byte k = hex chars 2k-1..2k)."""
+    start = 2 * (byte_off - 1)
+    return (
+        "cast(list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789ABCDEF', substring(hex(payload), {start} + i, 1)) - 1)"
+        " * pow(16, 8 - i))) as bigint)"
+    )
+
+
+@q(
+    "media_header_stats",
+    f"""
+    select kind, count(*) as cnt,
+           cast(sum(octet_length(payload)) as bigint) as total_bytes,
+           cast(sum(a) as bigint) as sum_a,
+           cast(sum(c) as bigint) as sum_c,
+           cast(count_if(
+             (width is null or a = width)
+             and (height is null or b = height)
+             and (duration_ms is null or c = duration_ms)
+           ) as bigint) as header_meta_matches
+    from (
+      select kind, payload,
+             meta.width as width, meta.height as height,
+             meta.duration_ms as duration_ms,
+             {_hex_int_sql(8)} as a,
+             {_hex_int_sql(12)} as b,
+             {_hex_int_sql(16)} as c
+      from read_parquet('{_MEDIA_GLOB}')
+    ) group by kind
+    """,
+)
+def media_header_stats(spark, sf_dir):
+    """Multimodal binary plumbing on the hard signal: the deterministic
+    media table (binary payloads + typed meta struct,
+    multimodal.gen_media) materializes to parquet; BOTH engines then
+    natively parse the big-endian header fields out of the raw bytes
+    (no Python UDF — Spark conv(hex(substring)), DuckDB hex-dump
+    arithmetic) and cross-check them against the meta struct. Proves
+    the opaque-binary column round-trips byte-exactly and the typed
+    metadata matches the payload, engine-independently."""
+    from . import mat, multimodal
+
+    media = mat.materialize(
+        spark, sf_dir, "media", lambda: multimodal.gen_media(spark, 500, partitions=8)
+    )
+
+    def be32(off):
+        return F.conv(F.hex(F.substring(F.col("payload"), off, 4)), 16, 10).cast(
+            "long"
+        )
+
+    parsed = media.select(
+        "kind",
+        F.length("payload").cast("long").alias("nb"),
+        be32(8).alias("a"),
+        be32(12).alias("b"),
+        be32(16).alias("c"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    ok = (
+        (F.col("width").isNull() | (F.col("a") == F.col("width")))
+        & (F.col("height").isNull() | (F.col("b") == F.col("height")))
+        & (F.col("duration_ms").isNull() | (F.col("c") == F.col("duration_ms")))
+    )
+    return parsed.groupBy("kind").agg(
+        F.count("*").alias("cnt"),
+        F.sum("nb").alias("total_bytes"),
+        F.sum("a").alias("sum_a"),
+        F.sum("c").alias("sum_c"),
+        F.count_if(ok).cast("long").alias("header_meta_matches"),
+    )
+
+
 _LSH_PLANES_GLOB = "/tmp/xtract_mat/sf0.01/lsh_planes/*.parquet"
 
 @q(
@@ -909,6 +989,92 @@ def ann_lsh_top5(spark, sf_dir):
     corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     qset = corpus.filter(F.col("id") < 20)
     out = similarity.lsh_topk(corpus, qset, k=5, n_planes=8, n_tables=4, dim=64)
+    return out.select(
+        F.col("query_id").alias("qid"),
+        F.col("rank").alias("rk"),
+        F.col("neighbor_id").alias("nid"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+_IVF_CENTROIDS_GLOB = "/tmp/xtract_mat/sf0.01/ivf_centroids/*.parquet"
+
+@q(
+    "ann_ivf_top5",
+    f"""
+    with cents as (select cell, w from read_parquet('{_IVF_CENTROIDS_GLOB}')),
+    e as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    en as (
+      select vec_id, v,
+             greatest(sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))), 1e-12) as nrm
+      from e
+    ),
+    sims as (
+      select en.vec_id as id, c.cell,
+             list_sum(list_transform(range(1, 65), i -> en.v[i] / en.nrm * c.w[i])) as sim
+      from en cross join cents c
+    ),
+    ca as (
+      select id as neighbor_id, cell from (
+        select id, cell, row_number() over (partition by id order by sim desc, cell) as rk
+        from sims
+      ) where rk = 1
+    ),
+    qa as (
+      select id as query_id, cell from (
+        select id, cell, row_number() over (partition by id order by sim desc, cell) as rk
+        from sims where id < 20
+      ) where rk <= 4
+    ),
+    cand as (
+      select distinct qa.query_id as qid, ca.neighbor_id as nid
+      from qa join ca using (cell)
+      where ca.neighbor_id <> qa.query_id
+    ),
+    scored as (
+      select cand.qid, cand.nid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> eq.v[i] * ec.v[i]))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> eq.v[i] * eq.v[i])))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ec.v[i] * ec.v[i])))
+             , 6) as s6
+      from cand join e eq on eq.vec_id = cand.qid
+                join e ec on ec.vec_id = cand.nid
+    )
+    select qid, rk, nid, round(s6, 4) + 0.0 as score from (
+      select qid, nid, s6,
+             row_number() over (partition by qid order by s6 desc, nid) as rk
+      from scored
+    ) where rk <= 5
+    """,
+)
+def ann_ivf_top5(spark, sf_dir):
+    """The IVF scale path on the driver's hard signal
+    (similarity.ivf_topk): seeded unit centroids materialize to
+    parquet; DuckDB independently recomputes normalized assignments
+    (corpus: nearest cell; queries: 4 probed cells), the cell
+    equi-join candidates, and the exact rerank. Same rounding
+    contract as ann_lsh_top5."""
+    import pandas as pd
+
+    from . import mat, similarity
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def build_centroids():
+        cents = similarity._centroids(64, 16)
+        rows = [{"cell": c, "w": cents[c].tolist()} for c in range(16)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows), schema="cell int, w array<double>"
+        )
+
+    mat.materialize(spark, sf_dir, "ivf_centroids", build_centroids)
+    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qset = corpus.filter(F.col("id") < 20)
+    out = similarity.ivf_topk(corpus, qset, k=5, n_cells=16, nprobe=4, dim=64)
     return out.select(
         F.col("query_id").alias("qid"),
         F.col("rank").alias("rk"),
