@@ -205,6 +205,28 @@ def main() -> None:
     )
     checks.append(("assembly has exactly one Exchange", n_exchanges == 1))
 
+    # ---- near-dup queries: candidate shapes, never a cartesian ------
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for qname in ("ngram_jaccard_pairs", "near_dup_scored", "minhash128_pairs"):
+        p = plan_of(queries.QUERIES[qname](spark, sf_dir))
+        no_cart = (
+            "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        )
+        sections.append(
+            (
+                f"{qname} (inverted-index candidates → exact scoring)",
+                p,
+                [
+                    "Every join in this plan is an equi-join (SortMergeJoin/"
+                    "BroadcastHashJoin on gram / fingerprint / band keys): pair "
+                    "generation shuffles posting rows bounded by the stop-gram/"
+                    "bucket cap, never |doc|² pairs. No CartesianProduct, no "
+                    "BroadcastNestedLoopJoin.",
+                ],
+            )
+        )
+        checks.append((f"{qname} plan has no cartesian/theta join", no_cart))
+
     # ---- boundary-only assembly: span table never shuffles ----------
     asm_sparse = assemble.merge_continuations_sparse(pipeline.extract(tr, mode="fused"))
     p = plan_of(asm_sparse)

