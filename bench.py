@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "near_dup_scored",
     "minhash128_pairs",
     "ann_lsh_top5",
+    "ann_ivf_top5",
+    "emb_near_dup",
+    "media_header_stats",
     "r10_caption_join",
     "tumbling_1h",
     "fp_winnow",

@@ -969,11 +969,132 @@ def ann_lsh_top5(spark, sf_dir):
     candidates, and the rerank from the same planes. Rank order uses
     the 6dp score (lsh_topk contract); output re-rounds to 4dp, and
     the oracle mirrors the double rounding."""
-    import pandas as pd
+    from . import similarity
 
+    e = t(spark, sf_dir, "embeddings")
+    _ensure_lsh_planes(spark, sf_dir)
+    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qset = corpus.filter(F.col("id") < 20)
+    out = similarity.lsh_topk(corpus, qset, k=5, n_planes=8, n_tables=4, dim=64)
+    return out.select(
+        F.col("query_id").alias("qid"),
+        F.col("rank").alias("rk"),
+        F.col("neighbor_id").alias("nid"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+@q(
+    "emb_near_dup",
+    f"""
+    with planes as (select tbl, j, w from read_parquet('{_LSH_PLANES_GLOB}')),
+    base as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    corpus as (
+      select vec_id as id, v from base
+      union all
+      select vec_id + 100000 as id,
+             list_transform(range(1, 65),
+               k -> v[k] + ((vec_id * 31 + (k - 1)) % 7 - 3) * 0.003) as v
+      from base
+    ),
+    sigs as (
+      select c.id, p.tbl,
+             cast(sum(case when list_sum(list_transform(range(1, 65),
+                               i -> c.v[i] * p.w[i])) > 0
+                      then cast(pow(2, p.j) as bigint) else 0 end) as bigint) as sig
+      from corpus c cross join planes p
+      group by c.id, p.tbl
+    ),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from sigs a join sigs b on a.tbl = b.tbl and a.sig = b.sig and a.id < b.id
+    ),
+    scored as (
+      select cand.id_a, cand.id_b,
+             round(
+               list_sum(list_transform(range(1, 65), i -> ca.v[i] * cb.v[i]))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ca.v[i] * ca.v[i])))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> cb.v[i] * cb.v[i])))
+             , 6) as s6
+      from cand join corpus ca on ca.id = cand.id_a
+                join corpus cb on cb.id = cand.id_b
+    )
+    select id_a, id_b, round(s6, 4) + 0.0 as score
+    from scored where s6 >= 0.99
+    """,
+)
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine NEAR-DUP (the dedup-toolkit arm distinct from
+    top-k search): thresholded duplicate pairs found through LSH
+    bucket candidates — never an all-pairs scan. The driver's
+    embeddings table has no natural near-dups (max off-diagonal
+    cosine ~ 0.51; vectors are unit-norm), so the corpus is augmented with deterministic
+    perturbed clones (same closed-form arithmetic in both engines);
+    the expected output is exactly the planted (original, clone)
+    pairs at cosine ≥ 0.99, recovered via signature-bucket equi-join
+    + exact rerank."""
     from . import mat, similarity
 
     e = t(spark, sf_dir, "embeddings")
+    _ensure_lsh_planes(spark, sf_dir)
+
+    base = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    clone_v = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda k: F.element_at(F.col("v"), k)
+        + (((F.col("vec_id") * 31 + (k - 1)) % 7) - 3) * 0.003,
+    )
+    corpus = base.select(F.col("vec_id").alias("id"), "v").unionAll(
+        base.select((F.col("vec_id") + 100000).alias("id"), clone_v.alias("v"))
+    )
+    sigs = similarity._signatures(
+        corpus.select("id", F.col("v").alias("vec")), dim=64, n_planes=8, n_tables=4
+    )
+    a = sigs.select(F.col("id").alias("id_a"), "table", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), "table", "sig")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ca = corpus.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    cb = corpus.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p_, q_: p_ * q_), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    s6 = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / F.sqrt(dot(F.col("va"), F.col("va")))
+        / F.sqrt(dot(F.col("vb"), F.col("vb"))),
+        6,
+    )
+    return (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", s6.alias("s6"))
+        .where(F.col("s6") >= 0.99)
+        .select(
+            "id_a", "id_b", (F.round("s6", 4) + F.lit(0.0)).alias("score")
+        )
+    )
+
+
+def _ensure_lsh_planes(spark, sf_dir):
+    """Materialize the shared 8x4 hyperplane table (used by
+    ann_lsh_top5 and emb_near_dup oracles)."""
+    import pandas as pd
+
+    from . import mat, similarity
 
     def build_planes():
         rows = []
@@ -986,15 +1107,6 @@ def ann_lsh_top5(spark, sf_dir):
         )
 
     mat.materialize(spark, sf_dir, "lsh_planes", build_planes)
-    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    qset = corpus.filter(F.col("id") < 20)
-    out = similarity.lsh_topk(corpus, qset, k=5, n_planes=8, n_tables=4, dim=64)
-    return out.select(
-        F.col("query_id").alias("qid"),
-        F.col("rank").alias("rk"),
-        F.col("neighbor_id").alias("nid"),
-        (F.round("score", 4) + F.lit(0.0)).alias("score"),
-    )
 
 
 _IVF_CENTROIDS_GLOB = "/tmp/xtract_mat/sf0.01/ivf_centroids/*.parquet"
