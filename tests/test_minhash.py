@@ -80,3 +80,17 @@ def test_band_keys_shape(spark):
     bk = mh.band_keys(mh.signatures(docs)).collect()
     assert len(bk) == mh.BANDS
     assert {r.band for r in bk} == set(range(mh.BANDS))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.text(max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_kernel_naive_equality_fuzz(text):
+    got = mh.signature_np(text)
+    want = mh.signature_naive(text)
+    if want is None:
+        assert got is None
+    else:
+        assert got is not None and got.tolist() == want

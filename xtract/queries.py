@@ -1264,30 +1264,33 @@ def simhash16(spark, sf_dir):
     ),
     e as (select doc_id, unnest(grams) as gram from g),
     keep as (select gram from e group by gram having count(distinct doc_id) <= 20),
-    cand as (
-      select distinct a.doc_id as doc_a, b.doc_id as doc_b
-      from (select e.doc_id, e.gram from e join keep using (gram)) a
-      join (select e.doc_id, e.gram from e join keep using (gram)) b
-        on a.gram = b.gram and a.doc_id < b.doc_id
+    e2 as (select e.doc_id, e.gram from e join keep using (gram)),
+    counts as (select doc_id, cast(count(*) as bigint) as n from e2 group by doc_id),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as shared
+      from e2 a join e2 b on a.gram = b.gram and a.doc_id < b.doc_id
+      group by 1, 2
     )
-    select c.doc_a, c.doc_b,
-           cast(floor(1000000.0
-             * len(list_intersect(ga.grams, gb.grams))
-             / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1)
-           ) as bigint) as jaccard_ppm
-    from cand c
-    join g ga on ga.doc_id = c.doc_a
-    join g gb on gb.doc_id = c.doc_b
+    select i.doc_a, i.doc_b,
+           cast(floor(1000000.0 * i.shared
+                      / greatest(ca.n + cb.n - i.shared, 1)) as bigint) as jaccard_ppm
+    from inter i
+    join counts ca on ca.doc_id = i.doc_a
+    join counts cb on cb.doc_id = i.doc_b
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """Word-bigram Jaccard over a deterministic 10% sample — in the
-    100-TB shape: candidate pairs come from an INVERTED INDEX on the
-    grams themselves (explode → doc-frequency cap ≤ 20 drops stop
-    grams → gram-key equi self-join), then exact Jaccard is computed
-    only for candidates. Shuffle volume scales with gram postings, not
-    |doc|²; pairs sharing nothing but stop-grams are (by design) not
-    emitted. Integerized to ppm."""
+    100-TB shape: an INVERTED INDEX on the grams (explode →
+    doc-frequency cap ≤ 20 drops stop grams → gram-key equi
+    self-join) both GENERATES the candidate pairs and COUNTS their
+    intersections in one aggregation; per-doc kept-gram counts then
+    close the Jaccard without ever re-joining gram arrays. Jaccard is
+    over the capped (non-stop) gram space — idf-style pruning, same
+    definition in both engines. Shuffle volume scales with posting
+    rows bounded by the cap, never |doc|² or per-pair gram payloads.
+    Integerized to ppm."""
     from . import fingerprint as fpm
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
@@ -1300,17 +1303,36 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .select("gram")
     )
     e2 = e.join(keep, "gram", "left_semi")
-    cand = (
+    counts = e2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
         e2.alias("a")
         .join(
             e2.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
     )
-    return fpm.jaccard_score_pairs(cand, g)
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("shared")
+                / F.greatest(F.col("na") + F.col("nb") - F.col("shared"), F.lit(1))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
 
 
 
