@@ -173,18 +173,25 @@ def _extraction_queries() -> dict[str, Callable]:
         corpus must agree row-for-row."""
         from xtract import mat, pdf
 
+        # render the seeded PDF corpus ONCE; both extraction plans
+        # (staged parse→transcripts→kernel, fused parse+extract) read
+        # the same bytes back — the cross-check compares the plans,
+        # not two renderings
+        corpus = mat.materialize(
+            spark, sf_dir, "pdf_corpus",
+            lambda: pdf.gen_pdf_turns(spark, 64, partitions=8),
+        )
         mat.materialize(
             spark,
             sf_dir,
             "pdf_staged",
             lambda: pipeline.extract(
-                pdf.pdf_to_transcripts(pdf.gen_pdf_turns(spark, 64, partitions=8)),
-                mode="fused",
+                pdf.pdf_to_transcripts(corpus), mode="fused"
             ).select(
                 "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
             ),
         )
-        return pdf.extract_pdf_turns(pdf.gen_pdf_turns(spark, 64, partitions=8)).select(
+        return pdf.extract_pdf_turns(corpus).select(
             "conv_id", "turn_idx", "seq", "question_number", "qtype", "span_text"
         )
 
@@ -298,13 +305,53 @@ def _extraction_oracles() -> dict[str, str]:
     parquet globs are pinned to that scale; the Spark query (which the
     driver runs first) writes the files in-process, so DuckDB always
     reads fresh bytes."""
-    from xtract import mat
+    from xtract import assemble, mat
     from xtract.queries import _fp_cte
 
     spans = mat.glob("sf0.01", "spans")
     blocks = mat.glob("sf0.01", "blocks")
     pdf_staged = mat.glob("sf0.01", "pdf_staged")
-    term_re = r"[。？！；?!;.）)】\]]\s*$"
+    # same char class the Spark plans rlike (single source of truth)
+    term_re = f"[{assemble.TERMINAL}]" + r"\s*$"
+
+    def asm_cte() -> str:
+        """Shared gaps-and-islands prefix for both assembly oracles
+        (physical order -> lag continuation flag -> island sum)."""
+        return f"""
+            with s as (
+              select conv_id, turn_idx, seq, question_number, span_text,
+                     cast(case when len(bbox) = 4 then bbox[2] else seq end as int) as phys
+              from read_parquet('{spans}')
+            ),
+            f as (
+              select *,
+                     lag(turn_idx) over w as prev_turn,
+                     lag(span_text) over w as prev_text
+              from s window w as (partition by conv_id order by turn_idx, phys, seq)
+            ),
+            g as (
+              select *,
+                     sum(case when prev_turn is not null
+                               and question_number is null
+                               and turn_idx = prev_turn + 1
+                               and prev_text is not null
+                               and length(trim(prev_text)) > 0
+                               and not regexp_matches(prev_text, '{term_re}')
+                          then 0 else 1 end)
+                       over (partition by conv_id order by turn_idx, phys, seq) as seg1
+              from f
+            )"""
+
+    asm_agg = """
+                   cast(min(turn_idx) as int) as turn_first,
+                   cast(max(turn_idx) as int) as turn_last,
+                   cast(max(question_number) as int) as question_number,
+                   case when count(*) > 1
+                        then string_agg(coalesce(span_text, ''), chr(10)
+                                        order by turn_idx, phys, seq)
+                        else min(span_text) end as span_text,
+                   cast(count(*) as int) as n_parts
+            from g group by conv_id, seg1"""
 
     return {
         "x_extract_relational": f"""
@@ -378,79 +425,19 @@ def _extraction_oracles() -> dict[str, str]:
             select conv_id, turn_idx, seq, question_number, qtype, span_text
             from read_parquet('{pdf_staged}')
         """,
-        "x_assemble": f"""
-            with s as (
-              select conv_id, turn_idx, seq, question_number, span_text,
-                     cast(case when len(bbox) = 4 then bbox[2] else seq end as int) as phys
-              from read_parquet('{spans}')
-            ),
-            f as (
-              select *,
-                     lag(turn_idx) over w as prev_turn,
-                     lag(span_text) over w as prev_text
-              from s window w as (partition by conv_id order by turn_idx, phys, seq)
-            ),
-            g as (
-              select *,
-                     sum(case when prev_turn is not null
-                               and question_number is null
-                               and turn_idx = prev_turn + 1
-                               and prev_text is not null
-                               and length(trim(prev_text)) > 0
-                               and not regexp_matches(prev_text, '{term_re}')
-                          then 0 else 1 end)
-                       over (partition by conv_id order by turn_idx, phys, seq) as seg1
-              from f
-            )
+        "x_assemble": asm_cte()
+        + """
             select conv_id,
-                   cast(seg1 - 1 as int) as segment,
-                   cast(min(turn_idx) as int) as turn_first,
-                   cast(max(turn_idx) as int) as turn_last,
-                   cast(max(question_number) as int) as question_number,
-                   case when count(*) > 1
-                        then string_agg(coalesce(span_text, ''), chr(10)
-                                        order by turn_idx, phys, seq)
-                        else min(span_text) end as span_text,
-                   cast(count(*) as int) as n_parts
-            from g group by conv_id, seg1
-        """,
-        "x_assemble_sparse": f"""
-            with s as (
-              select conv_id, turn_idx, seq, question_number, span_text,
-                     cast(case when len(bbox) = 4 then bbox[2] else seq end as int) as phys
-              from read_parquet('{spans}')
-            ),
-            f as (
-              select *,
-                     lag(turn_idx) over w as prev_turn,
-                     lag(span_text) over w as prev_text
-              from s window w as (partition by conv_id order by turn_idx, phys, seq)
-            ),
-            g as (
-              select *,
-                     sum(case when prev_turn is not null
-                               and question_number is null
-                               and turn_idx = prev_turn + 1
-                               and prev_text is not null
-                               and length(trim(prev_text)) > 0
-                               and not regexp_matches(prev_text, '{term_re}')
-                          then 0 else 1 end)
-                       over (partition by conv_id order by turn_idx, phys, seq) as seg1
-              from f
-            )
+                   cast(seg1 - 1 as int) as segment,"""
+        + asm_agg
+        + "\n        ",
+        "x_assemble_sparse": asm_cte()
+        + """
             select conv_id,
                    cast(min(turn_idx) as int) as head_turn,
-                   cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,
-                   cast(min(turn_idx) as int) as turn_first,
-                   cast(max(turn_idx) as int) as turn_last,
-                   cast(max(question_number) as int) as question_number,
-                   case when count(*) > 1
-                        then string_agg(coalesce(span_text, ''), chr(10)
-                                        order by turn_idx, phys, seq)
-                        else min(span_text) end as span_text,
-                   cast(count(*) as int) as n_parts
-            from g group by conv_id, seg1
-        """,
+                   cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,"""
+        + asm_agg
+        + "\n        ",
         "x_dup_spans": _fp_cte(
             source=f"read_parquet('{spans}')",
             id_sql="conv_id || '#' || cast(turn_idx as varchar) || '#' || cast(seq as varchar)",

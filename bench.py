@@ -151,13 +151,15 @@ def main() -> None:
     # cross-turn assembly: dense (one conv shuffle) vs boundary-only
     from xtract import assemble as asm_mod
 
-    spans_cached = pipeline.extract(tr, mode="fused")
+    spans_cached = pipeline.extract(tr, mode="fused").cache()
+    spans_cached.count()  # materialize: time the assembly, not the kernel
     t0 = time.monotonic()
     asm_mod.merge_continuations(spans_cached).agg(F.count("*")).collect()
     timings["assemble_dense"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     asm_mod.merge_continuations_sparse(spans_cached).agg(F.count("*")).collect()
     timings["assemble_sparse"] = round(time.monotonic() - t0, 3)
+    spans_cached.unpersist()
 
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]

@@ -143,3 +143,20 @@ def test_caption_leads_image_id_order(spark):
         kw = {"merge": merge} if merge else {}
         got = [r.asDict() for r in pipeline.extract(tr, mode=mode, **kw).collect()]
         assert _assignment(got) == exp, (mode, merge)
+
+
+def test_fullwidth_digit_caption_not_bound_any_plan(spark):
+    """Parity guard for the digit class: Python's \\d is unicode-aware
+    but Java's is ASCII — the caption matcher pins [0-9] in BOTH, so a
+    full-width 第１题图 caption binds in NO plan (spatial fallback)."""
+    payload = json.loads(_payload_caption_override())
+    payload["blocks"][2]["block_content"] = "第１题图"  # U+FF11
+    text = json.dumps(payload, ensure_ascii=False)
+    rows = oracle.extract_turn(text)
+    exp = {r["question_number"]: tuple(r["image_ids"]) for r in rows}
+    assert exp == {1: (), 2: (9,)}  # spatial owner keeps it
+    tr = _one_turn_df(spark, text)
+    for mode, merge in (("fused", None), ("relational", "greedy"), ("relational", "rank1")):
+        kw = {"merge": merge} if merge else {}
+        got = [r.asDict() for r in pipeline.extract(tr, mode=mode, **kw).collect()]
+        assert _assignment(got) == exp, (mode, merge)

@@ -36,7 +36,7 @@ MERGED_SCHEMA = (
 )
 
 
-CAPTION_RE = r"第(\d+)题图"
+CAPTION_RE = r"第([0-9]+)题图"  # ASCII digits only — parity with oracle._RX_CAPTION
 
 
 def image_blocks(blocks: DataFrame) -> DataFrame:

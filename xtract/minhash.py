@@ -51,6 +51,10 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# hoisted: constants, not per-document work (POW_MOD pattern)
+_PERM_A, _PERM_B = _perm_params()
+
+
 def shingle_hashes_np(text: str) -> np.ndarray:
     """All K-char shingle base hashes of the capped text (int64)."""
     t = (text or "")[:CAP]
@@ -73,7 +77,7 @@ def signature_np(text: str) -> np.ndarray | None:
     h = shingle_hashes_np(text)
     if not len(h):
         return None
-    a, b = _perm_params()
+    a, b = _PERM_A, _PERM_B
     # in-place accumulate: 2× over the naive expression (one temporary
     # instead of three; the int64 remainder dominates either way)
     out = h[:, None] * a[None, :]

@@ -427,7 +427,10 @@ def candidates_for(
     return cands[: LIMITS.max_images_per_question]
 
 
-_RX_CAPTION = re.compile(r"第(\d+)题图")
+# [0-9] (not \d): Python's \d is unicode-aware (matches 第１题图's
+# full-width digit) while Spark/Java regexp_extract's \d is ASCII —
+# the ASCII class keeps the oracle and the native plans byte-identical
+_RX_CAPTION = re.compile(r"第([0-9]+)题图")
 
 
 def merge_turn(

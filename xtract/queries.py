@@ -378,7 +378,7 @@ def j5_broadcast_lookup(spark, sf_dir):
                case when p_partkey % 3 = 0
                     then '图注 第' || cast(p_partkey % 30 as varchar) || '题图'
                     else p_name end,
-               '第(\\d+)题图', 1), '') as int) as cap_qn
+               '第([0-9]+)题图', 1), '') as int) as cap_qn
       from part
     ) i
     left join (select n_nationkey as qn_key from nation) n

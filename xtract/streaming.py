@@ -252,9 +252,13 @@ def assemble_stream(spans: DataFrame) -> DataFrame:
 
     Arrival contract: batch-boundary placement is free (a chain cut by
     a micro-batch is resumed from state — pinned by the parity test),
-    but WITHIN a conversation turns must not arrive out of order
-    across batches (the natural page-crawl order). An out-of-order
-    producer needs a watermark + sort stage upstream."""
+    but WITHIN a conversation spans must arrive in physical page order
+    across batches — turn-atomic delivery, or at minimum intra-turn
+    (phys, seq) order when one turn straddles batches (a later-arriving
+    span that physically precedes an already-seen span of its turn
+    cannot retract emitted segments). The natural page-crawl order
+    satisfies this; an out-of-order producer needs a watermark + sort
+    stage upstream."""
     has_bbox = "bbox" in spans.columns
     phys = (
         F.when(F.size(F.col("bbox")) == 4, F.col("bbox")[1]).otherwise(F.col("seq"))
