@@ -55,3 +55,50 @@ def test_table_ref_without_catalog_fails_cleanly(spark):
     df = spark.range(1).selectExpr("cast(id as string) conv_id")
     with pytest.raises(Exception):  # no catalog configured in sandbox
         catalog.write_ref(df, "table:nosuch.db.t")
+
+
+def test_btable_bucketed_roundtrip_and_exchange_free_agg(spark, tmp_path):
+    """btable: refs land as Spark-managed BUCKETED tables — conv_id
+    aggregations and self-joins over the table run WITHOUT an Exchange
+    (the bucketing layout substitutes for the shuffle), which is the
+    whole point of the bucket(N, conv_id) contract at 10^12 rows."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from xtract import gen, pipeline
+
+    spans = pipeline.extract(gen.transcripts(spark, 12, partitions=4), mode="fused")
+    catalog.write_ref(spans, "btable:bt_spans_test", n_buckets=8)
+    back = catalog.read_ref(spark, "btable:bt_spans_test")
+    assert back.count() == spans.count()
+    assert sorted(back.columns) == sorted(spans.columns)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # per-conversation rollup: bucketed scan → agg, no shuffle
+    agg = back.groupBy("conv_id").agg(F.count("*").alias("n"))
+    p = plan_of(agg)
+    assert "Exchange" not in p, p
+    assert "Bucketed: true" in p, p
+
+    # bucket-co-located self-join on conv_id: no SHUFFLE exchange on
+    # either side (a BroadcastExchange may appear for the small table —
+    # that is a broadcast, not a repartition of the data)
+    j = back.alias("l").join(back.alias("r"), "conv_id").groupBy("conv_id").count()
+    assert "hashpartitioning" not in plan_of(j)
+
+    # results still correct
+    got = {r.conv_id: r.n for r in agg.collect()}
+    want = {
+        r.conv_id: r.n
+        for r in spans.groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+    spark.sql("drop table if exists bt_spans_test")

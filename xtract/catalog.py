@@ -7,7 +7,9 @@ read/write in the engine goes through this module instead of hardcoding
 either format:
 
 - ``ref`` syntax: ``table:<catalog.db.name>`` → catalog table
-  (Iceberg on a real deployment); anything else → parquet path.
+  (Iceberg on a real deployment); ``btable:<name>`` → Spark-managed
+  BUCKETED parquet table (works in this container — no extra jar);
+  anything else → parquet path.
 - ``iceberg_available`` probes the JVM for the Iceberg SparkCatalog
   class at runtime — no import-time failure, no jar assumption.
 - ``configure_iceberg`` returns the exact session confs a production
@@ -31,13 +33,18 @@ def is_table_ref(ref: str) -> bool:
     return ref.startswith("table:")
 
 
+def is_btable_ref(ref: str) -> bool:
+    return ref.startswith("btable:")
+
+
 def table_name(ref: str) -> str:
-    if not is_table_ref(ref):
-        raise ValueError(f"not a table ref: {ref!r}")
-    name = ref[len("table:") :]
-    if not name:
-        raise ValueError("empty table name")
-    return name
+    for prefix in ("table:", "btable:"):
+        if ref.startswith(prefix):
+            name = ref[len(prefix):]
+            if not name:
+                raise ValueError("empty table name")
+            return name
+    raise ValueError(f"not a table ref: {ref!r}")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -67,8 +74,8 @@ def configure_iceberg(builder, catalog: str = "local", warehouse: str = "/tmp/wa
 
 
 def read_ref(spark: SparkSession, ref: str) -> DataFrame:
-    """``table:`` ref → catalog table; else parquet path."""
-    if is_table_ref(ref):
+    """``table:``/``btable:`` ref → catalog table; else parquet path."""
+    if is_table_ref(ref) or is_btable_ref(ref):
         return spark.read.table(table_name(ref))
     return spark.read.parquet(ref)
 
@@ -87,6 +94,29 @@ def write_ref(
     co-partition, so per-conversation joins and ordered-window stages
     read co-located buckets instead of shuffling 10^12 rows.
     """
+    if is_btable_ref(ref):
+        # Spark-managed bucketed parquet table: the bucketing metadata
+        # makes conv_id-keyed joins/aggregations over the table
+        # exchange-free on read (asserted in tests/test_catalog.py) —
+        # the in-container-verifiable stand-in for the Iceberg
+        # bucket(N, conv_id) layout the table: arm declares
+        name = table_name(ref)
+        spark = df.sparkSession
+        if mode == "overwrite" and not spark.catalog.tableExists(name):
+            # in-memory catalog: a previous process's table FILES
+            # survive under the warehouse while its metadata does not;
+            # saveAsTable would refuse the orphaned location
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+        w = df.write.mode(mode).format("parquet")
+        if bucket_col is not None and bucket_col in df.columns:
+            order_col = "turn_idx" if "turn_idx" in df.columns else bucket_col
+            w = w.bucketBy(n_buckets, bucket_col).sortBy(bucket_col, order_col)
+        w.saveAsTable(name)
+        return
     if not is_table_ref(ref):
         df.write.mode(mode).parquet(ref)
         return

@@ -24,6 +24,10 @@ def build(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.session.timeZone", "UTC")
+        # managed-table warehouse off the repo tree (btable: refs,
+        # catalog.py); in-memory catalog — metadata is per-session,
+        # data files persist under the warehouse dir
+        .config("spark.sql.warehouse.dir", "/tmp/xtract_warehouse")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
