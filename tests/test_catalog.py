@@ -102,3 +102,28 @@ def test_btable_bucketed_roundtrip_and_exchange_free_agg(spark, tmp_path):
     assert got == want
 
     spark.sql("drop table if exists bt_spans_test")
+
+
+def test_dense_assembly_over_btable_is_shuffle_free(spark):
+    """The round-1 scale trade-off, eliminated by storage layout: the
+    DENSE continuation assembly (per-conv windows + rollup) over a
+    conv_id-bucketed table plans with ZERO shuffle exchanges — the
+    bucketed scan satisfies the window's required distribution, so
+    dense ordinal semantics no longer cost a span-table shuffle."""
+    import contextlib
+    import io
+
+    from xtract import assemble, gen, pipeline
+
+    spans = pipeline.extract(gen.transcripts(spark, 12, partitions=4), mode="fused")
+    catalog.write_ref(spans, "btable:bt_asm_test", n_buckets=8)
+    back = catalog.read_ref(spark, "btable:bt_asm_test")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assemble.merge_continuations(back).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Bucketed: true" in p
+    got = assemble.merge_continuations(back).count()
+    assert got == assemble.merge_continuations(spans).count() > 0
+    spark.sql("drop table if exists bt_asm_test")

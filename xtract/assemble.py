@@ -49,7 +49,12 @@ as a singleton — the full span table never transits an Exchange
 (asserted in tools/explain_audit.py). The dense form is kept because
 the single-node oracle (and the reference's output convention,
 extractor.py:226-247 list order) number segments densely; the two are
-pinned segment-for-segment equal in tests/test_assemble.py. Rows per
+pinned segment-for-segment equal in tests/test_assemble.py. Third
+option: when spans land in a conv_id-BUCKETED table (catalog.py
+``btable:`` refs), the dense plan itself goes shuffle-free — the
+bucketed scan satisfies the window's distribution requirement
+(tests/test_catalog.py asserts zero shuffle exchanges), so dense
+semantics cost nothing given the right storage layout. Rows per
 conversation ≈ spans, so a mega conversation holds ~3×turns small
 rows in one task — bounded and documented (skew.py salting applies to
 the *extraction* stages; this final assembly is inherently
