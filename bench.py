@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "emb_cosine_top5",
     "ngram_jaccard_pairs",
     "near_dup_scored",
+    "corpus_clean",
     "minhash128_pairs",
     "ann_lsh_top5",
     "ann_ivf_top5",

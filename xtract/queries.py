@@ -745,7 +745,6 @@ def lang_id_heuristic(spark, sf_dir):
         F.count("*").alias("cnt")
     )
 
-
 # =====================================================================
 # similarity family — minhash / simhash / embedding ANN
 # =====================================================================
@@ -1748,6 +1747,118 @@ def near_dup_scored(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return fpm.near_dup_scored(d, min_shared=4, max_df=20)
+
+
+# ---- end-to-end training-data cleaning pipeline (composition demo) ----
+_GATE_SQL = """
+      (case when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+            when len(regexp_extract_all(text, '\\b(the|of|and)\\b'))
+                 >= len(regexp_extract_all(text, '\\b(der|die|das|el|la|de)\\b'))
+                 then 'en'
+            else 'other' end) = 'en'
+      and least(100, cast(floor(
+            0.5 * least(n_chars, 500) / 5.0
+            + 50.0 * len(regexp_extract_all(text, '\\bthe\\b|\\ba\\b'))
+              / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1)
+          ) as bigint)) >= 40
+"""
+
+
+def _corpus_clean_sql() -> str:
+    return (
+        _fp_cte(
+            source=f"(select doc_id, text from documents where {_GATE_SQL})",
+        )
+        + f"""
+        , keep as (select fp from fp group by fp having count(distinct doc_id) <= 20),
+        pairs as (
+          select a.doc_id as doc_a, b.doc_id as doc_b
+          from fp a join fp b on a.fp = b.fp and a.doc_id < b.doc_id
+          where a.fp in (select fp from keep)
+          group by 1, 2 having count(*) >= 24
+        ),
+        gated as (
+          select doc_id, source, n_chars from documents where {_GATE_SQL}
+        ),
+        dropped as (select distinct doc_b as doc_id from pairs),
+        totals as (select source, count(*) as docs_total from documents group by source)
+        select t.source,
+               t.docs_total,
+               cast(count(g.doc_id) as bigint) as docs_gated,
+               cast(count_if(g.doc_id is not null and d.doc_id is null) as bigint) as docs_final,
+               cast(coalesce(sum(case when g.doc_id is not null and d.doc_id is null
+                                      then g.n_chars end), 0) as bigint) as chars_final
+        from totals t
+        left join gated g using (source)
+        left join dropped d on g.doc_id = d.doc_id
+        group by t.source, t.docs_total
+        """
+    )
+
+
+@q("corpus_clean", _corpus_clean_sql())
+def corpus_clean(spark, sf_dir):
+    """The training-data cleaning pipeline COMPOSED end-to-end, per
+    source: language gate (n-gram marker heuristic = 'en') → quality
+    gate (length + stopword-density score ≥ 40) → near-dup removal
+    (winnowing-fingerprint pairs on the survivors; keep-first: the
+    higher doc_id of each pair drops). All three stages are the
+    already-verified operators chained — the oracle restates the whole
+    pipeline, so the composition itself (filters feeding the
+    inverted-index dedup, anti-join removal) is what gets
+    cross-checked. Every stage is native SQL or the narrow fingerprint
+    kernel; dedup cost scales with posting lists of the GATED corpus,
+    never all pairs."""
+    from . import fingerprint as fpm
+
+    d = t(spark, sf_dir, "documents")
+    en = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|of|and)\b"), 0))
+    other = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b(der|die|das|el|la|de)\b"), 0)
+    )
+    guess = (
+        F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .when(en >= other, "en")
+        .otherwise("other")
+    )
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    stops = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\bthe\b|\ba\b"), 0))
+    qv = F.least(
+        F.lit(100),
+        F.floor(
+            0.5 * F.least(F.col("n_chars"), F.lit(500)) / 5.0
+            + 50.0 * stops / F.greatest(toks, F.lit(1))
+        ).cast("long"),
+    )
+    gated = d.filter((guess == "en") & (qv >= 40)).select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    # min_shared=24: the synthetic corpus reuses a small phrase
+    # vocabulary, so a loose threshold flags nearly everything; 24
+    # shared winnowed fingerprints ≈ a genuinely repeated passage
+    pairs = fpm.shared_pairs(
+        fpm.fingerprints(gated.select("doc_id", "text")), min_shared=24, max_df=20
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = gated.join(dropped, "doc_id", "left_anti")
+
+    totals = d.groupBy("source").agg(F.count("*").alias("docs_total"))
+    g_stats = gated.groupBy("source").agg(F.count("*").alias("docs_gated"))
+    f_stats = final.groupBy("source").agg(
+        F.count("*").alias("docs_final"),
+        F.sum("n_chars").cast("long").alias("chars_final"),
+    )
+    return (
+        totals.join(g_stats, "source", "left")
+        .join(f_stats, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            F.coalesce("docs_gated", F.lit(0)).cast("long").alias("docs_gated"),
+            F.coalesce("docs_final", F.lit(0)).cast("long").alias("docs_final"),
+            F.coalesce("chars_final", F.lit(0)).cast("long").alias("chars_final"),
+        )
+    )
 
 
 def _minhash128_sql() -> str:
