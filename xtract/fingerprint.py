@@ -236,13 +236,17 @@ def shared_pairs(
     skew-free on a boilerplate-heavy corpus: a fingerprint in d docs
     otherwise contributes d² pairs."""
     if max_df is not None:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("fp")
+        # df cap via a window, not an agg+semi-join: the (doc_id, fp)
+        # rows are distinct, so a per-fp row count IS the doc
+        # frequency — one pass over the kernel output instead of
+        # re-evaluating the fingerprint lineage for the keep side
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        fps = fps.join(keep, "fp", "left_semi")
     a = fps.alias("a")
     b = fps.alias("b")
     return (

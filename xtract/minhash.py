@@ -165,15 +165,20 @@ def candidate_pairs(docs: DataFrame, max_bucket: int | None = 50) -> DataFrame:
     (doc_a, doc_b, n_bands). ``max_bucket`` drops degenerate buckets
     (boilerplate-identical bands across > max_bucket docs) before the
     self-join — the skew guard, same role as shared_pairs' max_df."""
+    from pyspark.sql import Window
+
     bk = band_keys(signatures(docs))
     if max_bucket is not None:
-        keep = (
-            bk.groupBy("band", "bkey")
-            .agg(F.count("*").alias("sz"))
-            .filter(F.col("sz") <= max_bucket)
-            .select("band", "bkey")
+        # bucket cap via a window (rows per (band,bkey) ARE the bucket
+        # size) — avoids re-running the signature kernel for a
+        # separate keep-side aggregation
+        bk = (
+            bk.withColumn(
+                "_sz", F.count("*").over(Window.partitionBy("band", "bkey"))
+            )
+            .filter(F.col("_sz") <= max_bucket)
+            .drop("_sz")
         )
-        bk = bk.join(keep, ["band", "bkey"], "left_semi")
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(
