@@ -145,16 +145,19 @@ def test_caption_leads_image_id_order(spark):
         assert _assignment(got) == exp, (mode, merge)
 
 
-def test_fullwidth_digit_caption_not_bound_any_plan(spark):
-    """Parity guard for the digit class: Python's \\d is unicode-aware
-    but Java's is ASCII — the caption matcher pins [0-9] in BOTH, so a
-    full-width 第１题图 caption binds in NO plan (spatial fallback)."""
+def test_fullwidth_digit_caption_binds_all_plans(spark):
+    """Reference-faithful digit handling: the reference's \\d caption
+    matcher accepts full-width 第１题图, so ours must too — via an
+    explicit ０-９ → 0-9 translate that is identical in Python, Spark
+    and DuckDB (Java's \\d is ASCII, so widening the class instead
+    would break cross-engine parity). A full-width caption binds in
+    EVERY plan, overriding the spatial owner."""
     payload = json.loads(_payload_caption_override())
     payload["blocks"][2]["block_content"] = "第１题图"  # U+FF11
     text = json.dumps(payload, ensure_ascii=False)
     rows = oracle.extract_turn(text)
     exp = {r["question_number"]: tuple(r["image_ids"]) for r in rows}
-    assert exp == {1: (), 2: (9,)}  # spatial owner keeps it
+    assert exp == {1: (9,), 2: ()}  # caption override wins
     tr = _one_turn_df(spark, text)
     for mode, merge in (("fused", None), ("relational", "greedy"), ("relational", "rank1")):
         kw = {"merge": merge} if merge else {}

@@ -212,3 +212,49 @@ def test_assemble_stream_matches_batch_sparse(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     spans.unpersist()
+
+
+def test_assemble_stream_rejects_out_of_order_arrival(spark, tmp_path):
+    """The documented arrival contract is ENFORCED: a producer that
+    delivers a span at or before the last consumed (turn, phys, seq)
+    position fails the query loudly (state carries the last consumed
+    position) instead of silently emitting wrong segments."""
+    import os
+
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+
+    def span_file(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "seq", "question_number", "span_text"],
+        )
+        spark.createDataFrame(
+            pdf,
+            "conv_id string, turn_idx int, seq int, question_number int, "
+            "span_text string",
+        ).coalesce(1).write.parquet(path + ".d")
+        import glob as globmod
+        import shutil
+
+        (f,) = globmod.glob(path + ".d/part-*.parquet")
+        shutil.move(f, path)
+        shutil.rmtree(path + ".d")
+        os.utime(path, (mtime, mtime))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    span_file(f"{src}/b0.parquet", [("c", 0, 0, 1, "1、甲题"), ("c", 2, 0, 2, "2、乙题")], 1000000)
+    # batch 2 regresses to turn 1 — before the consumed turn-2 span
+    span_file(f"{src}/b1.parquet", [("c", 1, 0, None, "迟到的续页")], 1000100)
+
+    sschema = "conv_id string, turn_idx int, seq int, question_number int, span_text string"
+    stream = (
+        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    with pytest.raises(StreamingQueryException, match="order violation"):
+        streaming.run_to_parquet(
+            streaming.assemble_stream(stream),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )

@@ -105,12 +105,30 @@ def write_ref(
         if mode == "overwrite" and not spark.catalog.tableExists(name):
             # in-memory catalog: a previous process's table FILES
             # survive under the warehouse while its metadata does not;
-            # saveAsTable would refuse the orphaned location
+            # saveAsTable would refuse the orphaned location. Resolve
+            # the location the way Spark lays it out (default db at
+            # the warehouse root, qualified db at <db>.db/<tbl>) and
+            # refuse ref-derived names that are not plain identifiers
+            # before deleting anything.
+            import os
+            import re
             import shutil
             from urllib.parse import urlparse
 
+            parts = name.lower().split(".")
+            if len(parts) > 2 or not all(
+                re.fullmatch(r"[a-z0-9_]+", p) for p in parts
+            ):
+                raise ValueError(f"unsafe btable name: {name!r}")
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+            loc = (
+                os.path.join(wh, parts[0])
+                if len(parts) == 1 or parts[0] == "default"
+                else os.path.join(wh, f"{parts[0]}.db", parts[-1])
+            )
+            if len(parts) == 2 and parts[0] == "default":
+                loc = os.path.join(wh, parts[1])
+            shutil.rmtree(loc, ignore_errors=True)
         w = df.write.mode(mode).format("parquet")
         if bucket_col is not None and bucket_col in df.columns:
             order_col = "turn_idx" if "turn_idx" in df.columns else bucket_col

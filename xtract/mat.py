@@ -25,6 +25,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 ROOT = "/tmp/xtract_mat"
+# the driver's oracle pass compares at this scale; its read_parquet
+# globs are pinned here (see __spark_entry__._extraction_oracles)
+ORACLE_SF = "sf0.01"
 
 _written: set[str] = set()
 
@@ -47,6 +50,17 @@ def materialize(
     DataFrame."""
     p = path(sf_dir, name)
     if p not in _written:
+        # Cross-scale guard: the oracle globs are pinned to ORACLE_SF,
+        # so if this process materializes ``name`` at a DIFFERENT
+        # scale without (yet) writing the ORACLE_SF slot, delete any
+        # leftover ORACLE_SF artifact from an older process — a stale
+        # one would satisfy read_parquet() silently; a missing one
+        # fails the oracle loudly, which is the honest outcome.
+        op = path(ORACLE_SF, name)
+        if p != op and op not in _written:
+            import shutil
+
+            shutil.rmtree(op, ignore_errors=True)
         build().write.mode("overwrite").parquet(p)
         _written.add(p)
     return spark.read.parquet(p)

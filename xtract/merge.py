@@ -37,6 +37,19 @@ MERGED_SCHEMA = (
 
 
 CAPTION_RE = r"第([0-9]+)题图"  # ASCII digits only — parity with oracle._RX_CAPTION
+# The reference matches captions with Python \d (unicode-aware:
+# question_merger captions like 第１题图 with full-width digits DO
+# bind there). Java regex \d is ASCII, so instead of widening the
+# class we normalize full-width digits to ASCII before matching — the
+# same translate() is restatable in Spark, DuckDB and Python, keeping
+# all engines parity-exact AND reference-faithful.
+FW_DIGITS = "０１２３４５６７８９"
+ASCII_DIGITS = "0123456789"
+
+
+def _caption_src(col):
+    """Caption text with full-width digits normalized (see FW_DIGITS)."""
+    return F.translate(F.coalesce(col, F.lit("")), FW_DIGITS, ASCII_DIGITS)
 
 
 def image_blocks(blocks: DataFrame) -> DataFrame:
@@ -60,9 +73,7 @@ def image_blocks(blocks: DataFrame) -> DataFrame:
         F.col("block.block_bbox")[2].alias("ix2"),
         F.col("block.block_bbox")[3].alias("iy2"),
         F.nullif(
-            F.regexp_extract(
-                F.coalesce(F.col("block.block_content"), F.lit("")), CAPTION_RE, 1
-            ),
+            F.regexp_extract(_caption_src(F.col("block.block_content")), CAPTION_RE, 1),
             F.lit(""),
         )
         .cast("int")

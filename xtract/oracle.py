@@ -427,10 +427,15 @@ def candidates_for(
     return cands[: LIMITS.max_images_per_question]
 
 
-# [0-9] (not \d): Python's \d is unicode-aware (matches 第１题图's
-# full-width digit) while Spark/Java regexp_extract's \d is ASCII —
-# the ASCII class keeps the oracle and the native plans byte-identical
+# [0-9] (not \d) + explicit full-width normalization: the reference
+# matches captions with Python \d, which is unicode-aware (第１题图's
+# full-width digit binds there), while Spark/Java regexp_extract's \d
+# is ASCII. Translating ０-９ → 0-9 before an ASCII-class match keeps
+# the oracle and the native plans byte-identical AND preserves the
+# reference's full-width acceptance (merge._caption_src is the Spark
+# twin of _FW_TRANS).
 _RX_CAPTION = re.compile(r"第([0-9]+)题图")
+_FW_TRANS = str.maketrans("０１２３４５６７８９", "0123456789")
 
 
 def merge_turn(
@@ -455,7 +460,7 @@ def merge_turn(
         if qn is not None and qn not in by_qn:
             by_qn[qn] = ti
     for img in image_blocks:
-        m = _RX_CAPTION.search(img.get("block_content") or "")
+        m = _RX_CAPTION.search((img.get("block_content") or "").translate(_FW_TRANS))
         if not m or len(img.get("block_bbox") or []) != 4:
             continue
         ti = by_qn.get(int(m.group(1)))

@@ -149,6 +149,11 @@ _ASM_STATE = T.StructType(
         T.StructField("n_parts", T.IntegerType(), False),
         T.StructField("turn_last", T.IntegerType(), False),
         T.StructField("last_text", T.StringType(), True),
+        # last CONSUMED span position (turn_last, last_phys, last_seq):
+        # the arrival-order contract is enforced against it, not just
+        # documented — see the guard in _asm_fn
+        T.StructField("last_phys", T.IntegerType(), False),
+        T.StructField("last_seq", T.IntegerType(), False),
     ]
 )
 
@@ -159,7 +164,7 @@ def _asm_fn(key, pdf_iter, state: GroupState):
     (conv_id,) = key
     tail = None
     if state.exists:
-        ht, hs, qn, text, n, tl, lt = state.get
+        ht, hs, qn, text, n, tl, lt, lp, ls = state.get
         tail = {
             "head_turn": ht,
             "head_seq": hs,
@@ -168,6 +173,8 @@ def _asm_fn(key, pdf_iter, state: GroupState):
             "n_parts": n,
             "turn_last": tl,
             "last_text": lt,
+            "last_phys": lp,
+            "last_seq": ls,
         }
 
     rows = []
@@ -178,6 +185,21 @@ def _asm_fn(key, pdf_iter, state: GroupState):
             text = None if isinstance(r.span_text, float) and pd.isna(r.span_text) else r.span_text
             rows.append((int(r.turn_idx), int(phys), int(r.seq), qn, text))
     rows.sort(key=lambda x: (x[0], x[1], x[2]))
+
+    # Arrival-contract guard: a span at or before the last consumed
+    # position cannot retract already-emitted segments — surface the
+    # violation instead of silently corrupting output. (Intra-batch
+    # disorder is legal: the sort above canonicalizes it.)
+    if tail is not None and rows:
+        last_pos = (tail["turn_last"], tail["last_phys"], tail["last_seq"])
+        first = rows[0][:3]
+        if first <= last_pos:
+            raise ValueError(
+                f"assemble_stream order violation in conv {conv_id!r}: "
+                f"span {first} arrived after {last_pos} was consumed — "
+                "producer must deliver per-conversation spans in "
+                "(turn, phys, seq) order across micro-batches"
+            )
 
     closed = []
     for turn, phys, seq, qn, text in rows:
@@ -192,6 +214,8 @@ def _asm_fn(key, pdf_iter, state: GroupState):
             tail["n_parts"] += 1
             tail["turn_last"] = turn
             tail["last_text"] = text
+            tail["last_phys"] = phys
+            tail["last_seq"] = seq
         else:
             if tail is not None:
                 closed.append(tail)
@@ -203,6 +227,8 @@ def _asm_fn(key, pdf_iter, state: GroupState):
                 "n_parts": 1,
                 "turn_last": turn,
                 "last_text": text,
+                "last_phys": phys,
+                "last_seq": seq,
             }
 
     if tail is not None:
@@ -215,6 +241,8 @@ def _asm_fn(key, pdf_iter, state: GroupState):
                 tail["n_parts"],
                 tail["turn_last"],
                 tail["last_text"],
+                tail["last_phys"],
+                tail["last_seq"],
             )
         )
 
