@@ -146,11 +146,10 @@ def _extraction_queries() -> dict[str, Callable]:
     def x_exam_info(spark, sf_dir):
         return structure.exam_info_flat(_blocks_mat(spark, sf_dir))
 
-    def x_analyze_groups(spark, sf_dir):
-        """v2-analyzer groups. Array columns (block_ids, merged_bbox)
-        are projected to sortable scalars — the driver canonicalizer
-        lexsorts cell values in pandas and cannot hash python lists."""
-        g = pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
+    def _groups_proj(g):
+        """Array columns (block_ids, merged_bbox) projected to sortable
+        scalars — the driver canonicalizer lexsorts cell values in
+        pandas and cannot hash python lists."""
         return g.select(
             "conv_id",
             "turn_idx",
@@ -163,6 +162,30 @@ def _extraction_queries() -> dict[str, Callable]:
             F.try_element_at("merged_bbox", F.lit(3)).alias("bx2"),
             F.try_element_at("merged_bbox", F.lit(4)).alias("by2"),
             "merged_text",
+        )
+
+    def x_analyze_groups(spark, sf_dir):
+        """v2-analyzer groups as a CROSS-PLAN row (the pattern
+        x_extract_relational established): the query runs the
+        RELATIONAL analyzer (groups.analyze — split_spans_v2 → greedy
+        merge → native groupBy assembly) while the oracle reads the
+        materialized FUSED single-kernel plan. Two independent physical
+        strategies over the same input must agree row-for-row; the
+        DuckDB read puts that equality on the driver's hash gate.
+        Reference analogue: v2 group assembly,
+        tests/test_exam_paper_analysis_vl_ocr_v2.py:1131-1186."""
+        from xtract import mat
+
+        mat.materialize(
+            spark,
+            sf_dir,
+            "groups",
+            lambda: _groups_proj(
+                pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="fused")
+            ),
+        )
+        return _groups_proj(
+            pipeline.analyze(_derived_transcripts(spark, sf_dir), mode="relational")
         )
 
     def x_pdf_extract(spark, sf_dir):
@@ -311,6 +334,7 @@ def _extraction_oracles() -> dict[str, str]:
     spans = mat.glob("sf0.01", "spans")
     blocks = mat.glob("sf0.01", "blocks")
     pdf_staged = mat.glob("sf0.01", "pdf_staged")
+    groups = mat.glob("sf0.01", "groups")
     # same char class the Spark plans rlike (single source of truth)
     term_re = f"[{assemble.TERMINAL}]" + r"\s*$"
 
@@ -424,6 +448,11 @@ def _extraction_oracles() -> dict[str, str]:
         "x_pdf_extract": f"""
             select conv_id, turn_idx, seq, question_number, qtype, span_text
             from read_parquet('{pdf_staged}')
+        """,
+        "x_analyze_groups": f"""
+            select conv_id, turn_idx, group_seq, gtype, block_ids_csv,
+                   bx1, by1, bx2, by2, merged_text
+            from read_parquet('{groups}')
         """,
         "x_assemble": asm_cte()
         + """
