@@ -1,0 +1,82 @@
+"""large-star/small-star connected components (xtract/cc.py): exact
+parity with a local union-find, O(log n) round counts on chain graphs
+(where min-label propagation needs O(n)), and bounded executor
+storage across iterations."""
+import pyspark.sql.functions as F
+import pytest
+
+from xtract import cc
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long"
+    )
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # two triangles + a bridge-free pair
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)],
+        # duplicate + reversed edges, self-contained star
+        [(5, 4), (4, 5), (4, 3), (3, 5), (5, 5)],
+        # chain of 64 — diameter 63, the propagation worst case
+        [(i, i + 1) for i in range(64)],
+    ],
+)
+def test_cc_matches_union_find(spark, pairs):
+    labels, _ = cc.connected_components(_edges_df(spark, pairs))
+    got = {r["node"]: r["rep"] for r in labels.collect()}
+    want = _union_find([(a, b) for a, b in pairs if a != b])
+    assert got == want
+
+
+def test_cc_chain_round_count_logarithmic(spark):
+    """A 64-node chain converges in far fewer rounds than its
+    diameter — the property that makes the algorithm viable on
+    chain-shaped near-dup clusters at scale (min-label propagation
+    would need 63 rounds here)."""
+    chain = _edges_df(spark, [(i, i + 1) for i in range(64)])
+    labels, rounds = cc.connected_components(chain)
+    assert rounds <= 10, rounds
+    assert labels.where(F.col("rep") != 0).count() == 0  # one component
+
+
+def test_cc_persisted_storage_bounded(spark):
+    """At most two edge generations live in executor storage at any
+    point: after convergence the persistent-RDD count returns to
+    baseline + a constant, independent of round count."""
+    sc = spark.sparkContext
+    baseline = len(cc._persistent_ids(sc))
+    chain = _edges_df(spark, [(i, i + 1) for i in range(128)])
+    labels, rounds = cc.connected_components(chain)
+    labels.count()
+    after = len(cc._persistent_ids(sc))
+    assert rounds >= 3  # enough iterations for growth to show if leaked
+    assert after - baseline <= 2, (baseline, after, rounds)
+
+
+def test_components_summary_sizes(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)]
+    got = {
+        (r["rep"], r["members"])
+        for r in cc.components_summary(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {(1, 3), (10, 3), (20, 2)}

@@ -1,0 +1,154 @@
+"""Distributed connected components: large-star / small-star.
+
+The alternating star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14 — public algorithm) converges in
+O(log n) rounds regardless of component diameter, unlike min-label
+propagation whose round count is the component DIAMETER (a chain of
+10^6 near-dup pages needs 10^6 propagation rounds but ~20 star
+rounds). Each round is two shuffle-by-node aggregations — the shape
+that survives a 100× scale-up.
+
+Round hygiene for iterative Spark jobs (the part naive loops get
+wrong at scale):
+
+- every round's edge set is ``localCheckpoint(eager=True)``-ed, so
+  plan lineage stays one scan deep instead of growing by two
+  joins/round (lineage growth eventually stalls the driver's
+  optimizer and breaks task serialization);
+- the PREVIOUS round's checkpointed RDD is explicitly unpersisted as
+  soon as the next round is materialized, so executor storage holds at
+  most two generations at any time (asserted in tests/test_cc.py via
+  ``getPersistentRDDs``);
+- convergence is detected with one tiny agg per round (count +
+  order-insensitive hash-sum) on the already-materialized result — no
+  re-execution of the round's plan.
+
+Semantics: input is an undirected edge list (any orientation, dups
+fine); output maps every non-isolated node to its component minimum.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge, self-loops dropped."""
+    e = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) symmetric → connect every LARGER neighbor of u to
+    m(u) = min(N(u) ∪ {u}). One groupBy(u) + one equi-join back."""
+    sym = _sym(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge (larger → smaller); connect every smaller
+    neighbor AND the center to the minimum smaller neighbor."""
+    ori = (
+        edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        ori.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    center = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return nbr.union(center).where(F.col("a") != F.col("b")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # modular hash-sum: order-insensitive, ANSI-overflow-safe
+        # (count * 1e9 stays far under 2^63)
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _persistent_ids(sc) -> set[int]:
+    jmap = sc._jsc.getPersistentRDDs()  # noqa: SLF001 — storage audit
+    ids: set[int] = set()
+    it = jmap.keySet().iterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _unpersist_ids(sc, ids: set[int]) -> None:
+    jmap = sc._jsc.getPersistentRDDs()  # noqa: SLF001
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() in ids:
+            e.getValue().unpersist()
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Undirected edge list (a, b) → ((node, rep), rounds) where rep is
+    the component minimum. Isolated nodes (no edges) don't appear —
+    callers treat absence as a singleton."""
+    sc = edges.sparkSession.sparkContext
+    cur = (
+        _sym(edges)
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_added: set[int] = set()
+    prev_sig = _checksum(cur)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        before = _persistent_ids(sc)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        added = _persistent_ids(sc) - before
+        sig = _checksum(nxt)
+        # release generation n-1 now that n+1 is materialized
+        _unpersist_ids(sc, prev_added)
+        prev_added = added
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_rounds} rounds")
+
+    # fixpoint edge set is a forest of stars: (member → root). The
+    # root itself carries no outgoing edge, so add it back from the
+    # child side.
+    labels = cur.select(F.col("a").alias("node"), F.col("b").alias("rep"))
+    roots = labels.select(F.col("rep").alias("node"), F.col("rep")).distinct()
+    return labels.union(roots).distinct(), rounds
+
+
+def components_summary(edges: DataFrame) -> DataFrame:
+    """(rep, members) for every non-singleton component."""
+    labels, _ = connected_components(edges)
+    return (
+        labels.groupBy("rep")
+        .agg(F.count("*").cast("long").alias("members"))
+        .where(F.col("members") > 1)
+    )

@@ -1521,40 +1521,72 @@ def html_block_classify(spark, sf_dir):
     )
 
 
+def _minhash128_cte() -> str:
+    """Shared DuckDB prefix: 128-perm MinHash signatures -> 32x4 band
+    keys -> skew-capped buckets (xtract/minhash.py arithmetic restated
+    from scratch; used by BOTH minhash128_pairs and dedup_components,
+    so the two oracles agree on the candidate graph by construction).
+    Opens with WITH RECURSIVE so callers may append recursive CTEs."""
+    from . import minhash as mh
+
+    pw_values = ", ".join(
+        f"({j}, {pow(mh.B, mh.K - 1 - j, mh.M)})" for j in range(mh.K)
+    )
+    return f"""
+    with recursive docs as (
+      select doc_id, substr(text, 1, {mh.CAP}) as t
+      from documents
+      where length(substr(text, 1, {mh.CAP})) >= {mh.K}
+    ),
+    pw(j, pm) as (values {pw_values}),
+    kg as (
+      select d.doc_id, g.p,
+             cast(sum(cast(unicode(substr(d.t, g.p + pw.j, 1)) as bigint)
+                      * cast(pw.pm as bigint)) % {mh.M} as bigint) as h
+      from docs d
+      join generate_series(1, {mh.CAP}) as g(p)
+        on g.p <= length(d.t) - {mh.K - 1}
+      cross join pw
+      group by d.doc_id, g.p
+    ),
+    perm as (
+      select cast(i as bigint) as i,
+             ((i + 1) * {mh._A_MUL} + 1) % {mh.M} as a,
+             ((i + 1) * {mh._B_MUL} + 7) % {mh.M} as b
+      from range({mh.NPERM}) t(i)
+    ),
+    sig as (
+      select kg.doc_id, perm.i,
+             min((perm.a * kg.h + perm.b) % {mh.M}) as s
+      from kg cross join perm
+      group by kg.doc_id, perm.i
+    ),
+    bands as (
+      select doc_id, cast(i // {mh.ROWS} as int) as band,
+             md5(string_agg(cast(s as varchar), ',' order by i)) as bkey
+      from sig group by doc_id, i // {mh.ROWS}
+    ),
+    keep as (
+      select band, bkey from bands group by band, bkey having count(*) <= 50
+    ),
+    kept as (select b.* from bands b join keep using (band, bkey))"""
+
+
 @q(
     "dedup_components",
-    """
-    with recursive edges_raw as (
-      select a.doc_id as a, b.doc_id as b from (
-        select doc_id, md5(s0 || s1) as band_key from (
-          select doc_id,
-                 list_min(list_transform(sh, x -> md5('p0' || x))) as s0,
-                 list_min(list_transform(sh, x -> md5('p1' || x))) as s1
-          from (
-            select doc_id,
-                   list_transform(range(1, greatest(length(text) - 3, 2)),
-                                  i -> text[i:i+4]) as sh
-            from documents
-          )
-        )
-      ) a join (
-        select doc_id, md5(s0 || s1) as band_key from (
-          select doc_id,
-                 list_min(list_transform(sh, x -> md5('p0' || x))) as s0,
-                 list_min(list_transform(sh, x -> md5('p1' || x))) as s1
-          from (
-            select doc_id,
-                   list_transform(range(1, greatest(length(text) - 3, 2)),
-                                  i -> text[i:i+4]) as sh
-            from documents
-          )
-        )
-      ) b using (band_key) where a.doc_id <> b.doc_id
+    _minhash128_cte()
+    + """
+    , pairs as (
+      select a.doc_id as a, b.doc_id as b
+      from kept a join kept b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
     ),
+    edges as (select a, b from pairs union select b, a from pairs),
     closure(a, b) as (
-      select a, b from edges_raw
+      select a, b from edges
       union
-      select c.a, e.b from closure c join edges_raw e on c.b = e.a
+      select c.a, e.b from closure c join edges e on c.b = e.a
       where c.a <> e.b
     )
     select rep, cast(count(*) as bigint) as members from (
@@ -1563,66 +1595,24 @@ def html_block_classify(spark, sf_dir):
     """,
 )
 def dedup_components(spark, sf_dir):
-    """Near-duplicate CLUSTERS: connected components over the MinHash
-    band graph — iterative min-label propagation in Spark (driver loop
-    to fixpoint), cross-checked against a DuckDB recursive-CTE
-    transitive closure. Output: one row per non-singleton component
-    (representative = min doc_id, size)."""
-    d = t(spark, sf_dir, "documents")
-    n = F.length("text")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
-        lambda i: F.substring(F.col("text"), i, 5),
-    )
-    s0 = F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit("p0"), x))))
-    s1 = F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit("p1"), x))))
-    banded = d.select("doc_id", F.md5(F.concat(s0, s1)).alias("band_key"))
+    """Near-duplicate CLUSTERS: connected components over the
+    PRODUCTION MinHash candidate graph (minhash.candidate_pairs: 128
+    perms, 32x4 banding, bucket-size skew cap 50), solved with the
+    large-star/small-star algorithm (xtract/cc.py) - O(log n) rounds
+    independent of component diameter, per-round localCheckpoint to
+    cut lineage, at most two edge generations persisted at any time.
+    Replaces the r2 shape (2-perm demo bands + min-label propagation:
+    O(diameter) rounds, cache never released). DuckDB independently
+    recomputes signatures, bands, buckets and the candidate edge set,
+    then closes it with a recursive-CTE transitive closure."""
+    from . import cc
+    from . import minhash as mh
 
-    a = banded.select(F.col("doc_id").alias("a"), "band_key")
-    b = banded.select(F.col("doc_id").alias("b"), "band_key")
-    edges = (
-        a.join(b, "band_key")
-        .where(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .cache()
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = mh.candidate_pairs(d, max_bucket=50).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-
-    # iterative min-label propagation to fixpoint (connected components)
-    labels = edges.select(F.col("a").alias("doc")).distinct().select(
-        "doc", F.col("doc").alias("lab")
-    )
-    for _ in range(30):
-        neigh = (
-            edges.join(labels, edges["b"] == labels["doc"])
-            .groupBy(F.col("a").alias("doc2"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["doc"] == neigh["doc2"], "left")
-            .select(
-                "doc",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-        )
-        new_labels = new_labels.cache()
-        changed = (
-            labels.withColumnRenamed("lab", "old")
-            .join(new_labels, "doc")
-            .where(F.col("old") != F.col("lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    comp = labels.groupBy(F.col("lab")).agg(
-        F.min("doc").alias("m"), F.count("*").alias("members")
-    )
-    return (
-        comp.filter(F.col("members") > 1)
-        .select(F.least("lab", "m").alias("rep"), F.col("members").cast("long"))
-    )
+    return cc.components_summary(pairs)
 
 
 # =====================================================================
@@ -1862,49 +1852,7 @@ def corpus_clean(spark, sf_dir):
 
 
 def _minhash128_sql() -> str:
-    from . import minhash as mh
-
-    pw_values = ", ".join(
-        f"({j}, {pow(mh.B, mh.K - 1 - j, mh.M)})" for j in range(mh.K)
-    )
-    return f"""
-    with docs as (
-      select doc_id, substr(text, 1, {mh.CAP}) as t
-      from documents
-      where length(substr(text, 1, {mh.CAP})) >= {mh.K}
-    ),
-    pw(j, pm) as (values {pw_values}),
-    kg as (
-      select d.doc_id, g.p,
-             cast(sum(cast(unicode(substr(d.t, g.p + pw.j, 1)) as bigint)
-                      * cast(pw.pm as bigint)) % {mh.M} as bigint) as h
-      from docs d
-      join generate_series(1, {mh.CAP}) as g(p)
-        on g.p <= length(d.t) - {mh.K - 1}
-      cross join pw
-      group by d.doc_id, g.p
-    ),
-    perm as (
-      select cast(i as bigint) as i,
-             ((i + 1) * {mh._A_MUL} + 1) % {mh.M} as a,
-             ((i + 1) * {mh._B_MUL} + 7) % {mh.M} as b
-      from range({mh.NPERM}) t(i)
-    ),
-    sig as (
-      select kg.doc_id, perm.i,
-             min((perm.a * kg.h + perm.b) % {mh.M}) as s
-      from kg cross join perm
-      group by kg.doc_id, perm.i
-    ),
-    bands as (
-      select doc_id, cast(i // {mh.ROWS} as int) as band,
-             md5(string_agg(cast(s as varchar), ',' order by i)) as bkey
-      from sig group by doc_id, i // {mh.ROWS}
-    ),
-    keep as (
-      select band, bkey from bands group by band, bkey having count(*) <= 50
-    ),
-    kept as (select b.* from bands b join keep using (band, bkey))
+    return _minhash128_cte() + """
     select a.doc_id as doc_a, b.doc_id as doc_b,
            cast(count(*) as bigint) as n_bands
     from kept a join kept b
