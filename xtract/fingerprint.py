@@ -34,15 +34,30 @@ K = 8  # k-gram length (chars)
 W = 4  # winnowing window (hashes)
 B = 131  # polynomial base
 M = 1_000_000_007  # modulus (fits intermediate math in int64/BIGINT)
-CAP = 2000  # chars hashed per doc (both engines apply the same cap)
+# Default chars hashed per doc (both engines apply the same cap — it
+# keeps the DuckDB restatement tractable). Every kernel also takes
+# ``cap`` explicitly; cap=None winnows the WHOLE document via the
+# chunked kernel below — the 100-TB semantics (two 100 KB docs that
+# differ only after char 2000 must NOT be fingerprint-identical).
+CAP = 2000
+# chars per kernel chunk when uncapped; chunks overlap K+W-2 chars so
+# every length-W hash window is evaluated in exactly one chunk — the
+# fingerprint set equals the single-pass result bit-for-bit
+CHUNK = 1 << 16
+
+
+def _clip(text: str | None, cap: int | None) -> str:
+    t = text or ""
+    return t if cap is None else t[:cap]
+
 
 POW_MOD = [pow(B, K - 1 - j, M) for j in range(K)]  # B^(k-1-j) % M
 
 
-def fingerprints_naive(text: str) -> list[int]:
+def fingerprints_naive(text: str, cap: int | None = CAP) -> list[int]:
     """Reference implementation (pure Python, O(len·k)) — the local
     oracle for the vectorized kernel."""
-    t = (text or "")[:CAP]
+    t = _clip(text, cap)
     n = len(t)
     if n < K + W - 1:
         return []
@@ -58,23 +73,41 @@ def fingerprints_naive(text: str) -> list[int]:
     return sorted(sel)
 
 
-def fingerprints_np(text: str) -> np.ndarray:
-    """Vectorized winnowing: k Horner passes over the codepoint array,
-    then a w-way minimum reduce. int64 throughout (max intermediate
-    M·B + 0x110000 < 2^63)."""
-    t = (text or "")[:CAP]
-    n = len(t)
-    if n < K + W - 1:
-        return np.empty(0, dtype=np.int64)
-    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    npos = n - K + 1
+def _winnow_chunk(chunk: str) -> np.ndarray:
+    """Window-min selection over one chunk's hash stream."""
+    cp = np.frombuffer(chunk.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    npos = len(chunk) - K + 1
     h = np.zeros(npos, dtype=np.int64)
     for j in range(K):
         h = (h * B + cp[j : j + npos]) % M
     sel = h[: npos - W + 1].copy()
     for s in range(1, W):
         np.minimum(sel, h[s : s + npos - W + 1], out=sel)
-    return np.unique(sel)
+    return sel
+
+
+def fingerprints_np(text: str, cap: int | None = CAP) -> np.ndarray:
+    """Vectorized winnowing: k Horner passes over the codepoint array,
+    then a w-way minimum reduce. int64 throughout (max intermediate
+    M·B + 0x110000 < 2^63). Texts longer than CHUNK stream through in
+    overlapping pieces (overlap K+W-2 ⇒ every hash window lands in
+    exactly one chunk), so memory stays O(CHUNK) per doc and the
+    result is identical to a single pass."""
+    t = _clip(text, cap)
+    n = len(t)
+    if n < K + W - 1:
+        return np.empty(0, dtype=np.int64)
+    if n <= CHUNK:
+        return np.unique(_winnow_chunk(t))
+    sels = []
+    start = 0
+    while start <= n - (K + W - 1):
+        end = min(n, start + CHUNK)
+        sels.append(_winnow_chunk(t[start:end]))
+        if end == n:
+            break
+        start = end - (K + W - 2)
+    return np.unique(np.concatenate(sels))
 
 
 FP_SCHEMA = T.StructType(
@@ -93,12 +126,16 @@ FP_SCHEMA_STR = T.StructType(
 
 
 def fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int | None = CAP,
 ) -> DataFrame:
     """(id, text) → one row per distinct winnowed fingerprint. Narrow
     kernel, no shuffle; column pruning pushes to the scan. String ids
     pass through unchanged (restatable cross-engine, unlike a hashed
-    key); everything else folds to long."""
+    key); everything else folds to long. ``cap=None`` winnows whole
+    documents (chunked kernel)."""
     is_str = dict(docs.dtypes)[id_col] == "string"
     out_schema = FP_SCHEMA_STR if is_str else FP_SCHEMA
     id_expr = F.col(id_col) if is_str else F.col(id_col).cast("long")
@@ -108,7 +145,7 @@ def fingerprints(
             ids: list[np.ndarray] = []
             fps: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                f = fingerprints_np(text)
+                f = fingerprints_np(text, cap=cap)
                 if len(f):
                     key = doc_id if is_str else int(doc_id)
                     ids.append(np.full(len(f), key, dtype=object if is_str else np.int64))
@@ -216,12 +253,15 @@ def near_dup_scored(
     text_col: str = "text",
     min_shared: int = 4,
     max_df: int = 20,
+    cap: int | None = CAP,
 ) -> DataFrame:
     """End-to-end near-dup scoring: winnowing-fingerprint candidates
     (inverted index + stop-gram cap) → exact word-bigram Jaccard on
     candidates only."""
     keyed = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    cands = shared_pairs(fingerprints(keyed), min_shared=min_shared, max_df=max_df)
+    cands = shared_pairs(
+        fingerprints(keyed, cap=cap), min_shared=min_shared, max_df=max_df
+    )
     return jaccard_score_pairs(cands, word_bigrams(keyed))
 
 

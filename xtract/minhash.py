@@ -35,7 +35,17 @@ BANDS = 32
 ROWS = 4  # NPERM == BANDS * ROWS
 B = 131  # polynomial base (shared with fingerprint.py)
 M = 1_000_000_007
-CAP = 400  # chars hashed per doc (both engines)
+# Default chars hashed per doc. The cap keeps the DuckDB oracle's
+# O(len x 128) restatement tractable and is applied in BOTH engines;
+# every kernel below also takes ``cap`` explicitly (cap=None = whole
+# document — the 100-TB semantics, driver-checked by
+# minhash128_full_pairs). Reference analogue: whole-text md5 keying,
+# question_merger.py:568-609.
+CAP = 400
+# chars per kernel chunk when uncapped: bounds per-doc numpy memory on
+# multi-MB documents; chunks overlap K-1 chars so the shingle stream —
+# and therefore the signature — is EXACTLY the single-pass result
+CHUNK = 1 << 16
 
 # affine permutation parameters — a_i odd-ish multiplier, b_i offset;
 # any fixed 2-universal-style family works for MinHash, this one is
@@ -55,40 +65,61 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
 _PERM_A, _PERM_B = _perm_params()
 
 
-def shingle_hashes_np(text: str) -> np.ndarray:
-    """All K-char shingle base hashes of the capped text (int64)."""
-    t = (text or "")[:CAP]
+def _clip(text: str | None, cap: int | None) -> str:
+    t = text or ""
+    return t if cap is None else t[:cap]
+
+
+def _hash_chunks(t: str):
+    """Yield the K-shingle polynomial hash stream of ``t`` in CHUNK-char
+    pieces (overlap K-1 ⇒ contiguous, duplicate-free positions)."""
     n = len(t)
-    if n < K:
+    start = 0
+    while start <= n - K:
+        chunk = t[start : min(n, start + CHUNK)]
+        cp = np.frombuffer(chunk.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        npos = len(chunk) - K + 1
+        h = np.zeros(npos, dtype=np.int64)
+        for j in range(K):
+            h = (h * B + cp[j : j + npos]) % M
+        yield h
+        if start + CHUNK >= n:
+            break
+        start += CHUNK - (K - 1)
+
+
+def shingle_hashes_np(text: str, cap: int | None = CAP) -> np.ndarray:
+    """All K-char shingle base hashes (int64); cap=None = full text."""
+    parts = list(_hash_chunks(_clip(text, cap)))
+    if not parts:
         return np.empty(0, dtype=np.int64)
-    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    npos = n - K + 1
-    h = np.zeros(npos, dtype=np.int64)
-    for j in range(K):
-        h = (h * B + cp[j : j + npos]) % M
-    return h
+    return np.concatenate(parts)
 
 
-def signature_np(text: str) -> np.ndarray | None:
+def signature_np(text: str, cap: int | None = CAP) -> np.ndarray | None:
     """128-long MinHash signature, or None when the doc has no
     shingles. min over shingles of (a_i*h + b_i) mod M — max
     intermediate M*M < 2^63, int64-safe (the same bound the DuckDB
-    restatement relies on)."""
-    h = shingle_hashes_np(text)
-    if not len(h):
-        return None
+    restatement relies on). Uncapped docs stream through _hash_chunks
+    with an elementwise running min — exact and memory-bounded."""
     a, b = _PERM_A, _PERM_B
-    # in-place accumulate: 2× over the naive expression (one temporary
-    # instead of three; the int64 remainder dominates either way)
-    out = h[:, None] * a[None, :]
-    out += b[None, :]
-    out %= M
-    return out.min(axis=0)
+    out = None
+    for h in _hash_chunks(_clip(text, cap)):
+        # in-place accumulate: 2× over the naive expression (one
+        # temporary instead of three; int64 remainder dominates)
+        s = h[:, None] * a[None, :]
+        s += b[None, :]
+        s %= M
+        s = s.min(axis=0)
+        out = s if out is None else np.minimum(out, s)
+    return out
 
 
-def signature_naive(text: str) -> list[int] | None:
+def signature_naive(text: str, cap: int | None = CAP) -> list[int] | None:
     """Pure-Python oracle for the vectorized kernel."""
-    t = (text or "")[:CAP]
+    t = _clip(text, cap)
     if len(t) < K:
         return None
     hs = []
@@ -114,7 +145,10 @@ SIG_SCHEMA = T.StructType(
 
 
 def signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int | None = CAP,
 ) -> DataFrame:
     """(id, text) → (doc_id, sig[128]). Narrow kernel, no shuffle."""
 
@@ -122,7 +156,7 @@ def signatures(
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                s = signature_np(text)
+                s = signature_np(text, cap=cap)
                 if s is not None:
                     ids.append(int(doc_id))
                     sigs.append(s.tolist())
@@ -160,14 +194,17 @@ def band_keys(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
-def candidate_pairs(docs: DataFrame, max_bucket: int | None = 50) -> DataFrame:
+def candidate_pairs(
+    docs: DataFrame, max_bucket: int | None = 50, cap: int | None = CAP
+) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 LSH band bucket.
     (doc_a, doc_b, n_bands). ``max_bucket`` drops degenerate buckets
     (boilerplate-identical bands across > max_bucket docs) before the
-    self-join — the skew guard, same role as shared_pairs' max_df."""
+    self-join — the skew guard, same role as shared_pairs' max_df.
+    ``cap=None`` hashes whole documents (chunked kernel)."""
     from pyspark.sql import Window
 
-    bk = band_keys(signatures(docs))
+    bk = band_keys(signatures(docs, cap=cap))
     if max_bucket is not None:
         # bucket cap via a window (rows per (band,bkey) ARE the bucket
         # size) — avoids re-running the signature kernel for a

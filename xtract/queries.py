@@ -1521,33 +1521,38 @@ def html_block_classify(spark, sf_dir):
     )
 
 
-def _minhash128_cte() -> str:
+def _minhash128_cte(cap: int | None = None) -> str:
     """Shared DuckDB prefix: 128-perm MinHash signatures -> 32x4 band
     keys -> skew-capped buckets (xtract/minhash.py arithmetic restated
-    from scratch; used by BOTH minhash128_pairs and dedup_components,
-    so the two oracles agree on the candidate graph by construction).
-    Opens with WITH RECURSIVE so callers may append recursive CTEs."""
+    from scratch; used by minhash128_pairs, minhash128_full_pairs and
+    dedup_components, so the oracles agree on the candidate graph by
+    construction). cap=None restates the FULL-TEXT kernel — shingle
+    positions come from unnest(range(...)) over each doc's own length,
+    so no truncation anywhere. Opens with WITH RECURSIVE so callers
+    may append recursive CTEs."""
     from . import minhash as mh
 
     pw_values = ", ".join(
         f"({j}, {pow(mh.B, mh.K - 1 - j, mh.M)})" for j in range(mh.K)
     )
+    t_sql = f"substr(text, 1, {cap})" if cap is not None else "text"
     return f"""
     with recursive docs as (
-      select doc_id, substr(text, 1, {mh.CAP}) as t
+      select doc_id, {t_sql} as t
       from documents
-      where length(substr(text, 1, {mh.CAP})) >= {mh.K}
+      where length({t_sql}) >= {mh.K}
     ),
     pw(j, pm) as (values {pw_values}),
     kg as (
-      select d.doc_id, g.p,
-             cast(sum(cast(unicode(substr(d.t, g.p + pw.j, 1)) as bigint)
+      select d.doc_id, d.p,
+             cast(sum(cast(unicode(substr(d.t, d.p + pw.j, 1)) as bigint)
                       * cast(pw.pm as bigint)) % {mh.M} as bigint) as h
-      from docs d
-      join generate_series(1, {mh.CAP}) as g(p)
-        on g.p <= length(d.t) - {mh.K - 1}
+      from (
+        select doc_id, t, unnest(range(1, length(t) - {mh.K - 2})) as p
+        from docs
+      ) d
       cross join pw
-      group by d.doc_id, g.p
+      group by d.doc_id, d.p
     ),
     perm as (
       select cast(i as bigint) as i,
@@ -1574,7 +1579,7 @@ def _minhash128_cte() -> str:
 
 @q(
     "dedup_components",
-    _minhash128_cte()
+    _minhash128_cte(cap=400)
     + """
     , pairs as (
       select a.doc_id as a, b.doc_id as b
@@ -1851,14 +1856,41 @@ def corpus_clean(spark, sf_dir):
     )
 
 
-def _minhash128_sql() -> str:
-    return _minhash128_cte() + """
+def _minhash128_pairs_tail() -> str:
+    return """
     select a.doc_id as doc_a, b.doc_id as doc_b,
            cast(count(*) as bigint) as n_bands
     from kept a join kept b
       on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
     group by 1, 2
     """
+
+
+def _minhash128_sql() -> str:
+    from . import minhash as mh
+
+    return _minhash128_cte(cap=mh.CAP) + _minhash128_pairs_tail()
+
+
+def _minhash128_full_sql() -> str:
+    return _minhash128_cte(cap=None) + _minhash128_pairs_tail()
+
+
+@q("minhash128_full_pairs", _minhash128_full_sql())
+def minhash128_full_pairs(spark, sf_dir):
+    """WHOLE-document MinHash LSH (cap=None): the chunked signature
+    kernel hashes every shingle of every doc, so two documents that
+    agree only in their first 400 chars are NOT candidates and a
+    duplicate block deep in a long doc still is. The capped variant
+    (minhash128_pairs) remains the didactic/oracle-cheap twin; this
+    row puts the 100-TB semantics on the driver's hash gate (DuckDB
+    recomputes full-text signatures via per-doc unnest(range())).
+    Reference analogue: whole-text md5 keying,
+    question_merger.py:568-609."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mh.candidate_pairs(d, max_bucket=50, cap=None)
 
 
 @q("minhash128_pairs", _minhash128_sql())
