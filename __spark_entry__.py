@@ -254,6 +254,60 @@ def _extraction_queries() -> dict[str, Callable]:
             "n_parts",
         )
 
+    def x_assemble_stream(spark, sf_dir):
+        """Streaming continuation assembly on the driver's hash gate:
+        assemble_stream (applyInPandasWithState) drains the
+        materialized span table with an availableNow trigger, the
+        emitted rows are reconstructed (final segments + each
+        conversation's latest open tail not superseded by a final),
+        and the oracle restates the DENSE BATCH algorithm in DuckDB —
+        a cross-algorithm AND cross-execution-mode row. Single-batch
+        drain by design: parquet file order does not respect the
+        per-conversation arrival contract, so cross-batch chain cuts
+        stay pinned by tests/test_streaming.py instead."""
+        import os
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from xtract import mat, streaming
+
+        spans = _spans_mat(spark, sf_dir)
+        src = mat.path(sf_dir, "spans")
+        tmp = tempfile.mkdtemp(prefix="xasm_")
+        streaming.run_to_parquet(
+            streaming.assemble_stream(
+                spark.readStream.schema(spans.schema).parquet(src)
+            ),
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ck"),
+        )
+        emitted = spark.read.parquet(os.path.join(tmp, "out"))
+        cols = [
+            "conv_id", "head_turn", "head_seq", "turn_first", "turn_last",
+            "question_number", "span_text", "n_parts",
+        ]
+        finals = emitted.where("final").select(*cols)
+        latest_tail = (
+            emitted.where(~F.col("final"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("conv_id").orderBy(
+                        F.desc("head_turn"), F.desc("head_seq"), F.desc("n_parts")
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
+        open_tails = latest_tail.join(
+            finals.select("conv_id", "head_turn", "head_seq"),
+            ["conv_id", "head_turn", "head_seq"],
+            "left_anti",
+        )
+        return finals.unionByName(open_tails)
+
     def x_dup_spans(spark, sf_dir):
         """Near-duplicate question pairs over the engine's own
         extracted spans (winnowing fingerprints; fingerprint.dup_spans,
@@ -309,6 +363,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_pdf_extract": x_pdf_extract,
         "x_assemble": x_assemble,
         "x_assemble_sparse": x_assemble_sparse,
+        "x_assemble_stream": x_assemble_stream,
         "x_dup_spans": x_dup_spans,
         "x_rank1_divergence": x_rank1_divergence,
     }
@@ -461,6 +516,16 @@ def _extraction_oracles() -> dict[str, str]:
         + asm_agg
         + "\n        ",
         "x_assemble_sparse": asm_cte()
+        + """
+            select conv_id,
+                   cast(min(turn_idx) as int) as head_turn,
+                   cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,"""
+        + asm_agg
+        + "\n        ",
+        # the streaming operator must reproduce the dense BATCH
+        # algorithm's segments exactly (same restatement as the sparse
+        # row — here it cross-checks a third, stateful-streaming plan)
+        "x_assemble_stream": asm_cte()
         + """
             select conv_id,
                    cast(min(turn_idx) as int) as head_turn,
