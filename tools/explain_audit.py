@@ -257,6 +257,69 @@ def main() -> None:
         )
     )
 
+    # ---- salted two-phase agg + salted repartition (skew.py) --------
+    from xtract import skew
+
+    salted = skew.salted_agg(
+        tr,
+        [
+            (F.count("*"), "turns", F.sum("turns").cast("long")),
+            (
+                F.collect_set("tool"),
+                "tools",
+                F.size(F.array_distinct(F.flatten(F.collect_list("tools")))),
+            ),
+        ],
+        n_salts=8,
+    )
+    p = plan_of(salted)
+    agg_keys = [
+        ln for ln in p.splitlines() if "Keys" in ln and "HashAggregate" not in ln
+    ]
+    first_salted = any("salt" in ln and "conv_id" in ln for ln in agg_keys)
+    sections.append(
+        (
+            "Salted two-phase aggregation (skew.salted_agg)",
+            p,
+            [
+                "Stage 1 aggregates by (conv_id, salt) — a mega-conversation's "
+                "rows land on up to n_salts reducers; stage 2 reduces the "
+                "n_salts partial rows per conversation. Both exchanges move "
+                "aggregated rows only.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "salted agg is two-phase (≥2 exchanges, first keyed with salt)",
+            p.count("hashpartitioning(") >= 2 and first_salted,
+        )
+    )
+
+    rep = skew.salted_repartition(tr, 12, n_salts=8, threshold_turns=300)
+    p = plan_of(rep)
+    sections.append(
+        (
+            "Salted repartition (heavy-only salting, broadcast membership)",
+            p,
+            [
+                "Heavy-conversation detection joins back as a BROADCAST — the "
+                "transcript table itself shuffles exactly once, on "
+                "(conv_id, salt).",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "salted repartition shuffles on (conv_id, salt) with broadcast membership",
+            "BroadcastHashJoin" in p
+            and any(
+                "hashpartitioning" in ln and "salt" in ln and "conv_id" in ln
+                for ln in p.splitlines()
+            ),
+        )
+    )
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",

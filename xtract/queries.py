@@ -1961,3 +1961,56 @@ def w8_page_continuation(spark, sf_dir):
         F.count("*").cast("long").alias("n_parts"),
         F.sum(F.length("text")).cast("long").alias("chars"),
     )
+
+
+# =====================================================================
+# Skew handling — the explicit two-phase salted aggregation
+# (xtract/skew.py; north rule "hash-partition by conv_id with salt on
+# skewed mega-conversations")
+# =====================================================================
+@q(
+    "skew_salted_stats",
+    """
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           string_agg(distinct event_type, ',' order by event_type) as types_csv,
+           cast(min(event_id) as bigint) as ev_min,
+           cast(max(event_id) as bigint) as ev_max
+    from events group by user_id
+    """,
+)
+def skew_salted_stats(spark, sf_dir):
+    """Salted two-phase aggregation on the driver gate: per-user event
+    rollups computed via groupBy(key, salt) partials then a
+    groupBy(key) final — the shape that spreads a mega-key across
+    n_salts reducers for NON-algebraic aggregates (here collect_set,
+    which Spark cannot partially aggregate map-side the way it does
+    counters). The DuckDB oracle is the plain one-phase groupBy, so
+    the row proves salting is semantics-preserving. Plan shape
+    (two HashAggregate pairs, first keyed with salt) is asserted in
+    tools/explain_audit.py."""
+    from . import skew
+
+    e = t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        e,
+        [
+            (F.count("*"), "n_events", F.sum("n_events").cast("long")),
+            (
+                F.collect_set("event_type"),
+                "types_csv",
+                F.array_join(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("types_csv")))
+                    ),
+                    ",",
+                ),
+            ),
+            (F.min("event_id"), "ev_min", F.min("ev_min").cast("long")),
+            (F.max("event_id"), "ev_max", F.max("ev_max").cast("long")),
+        ],
+        n_salts=8,
+        key="user_id",
+        salt_from="event_id",
+    )
+    return out.select("user_id", "n_events", "types_csv", "ev_min", "ev_max")

@@ -25,11 +25,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def with_salt(df: DataFrame, n_salts: int = 16, col: str = "conv_id") -> DataFrame:
-    """Deterministic per-row salt derived from turn_idx (NOT random —
-    resume/idempotency requires stable assignment)."""
+def with_salt(
+    df: DataFrame, n_salts: int = 16, salt_from: str = "turn_idx"
+) -> DataFrame:
+    """Deterministic per-row salt derived from ``salt_from`` (NOT
+    random — resume/idempotency requires stable assignment)."""
     return df.withColumn(
-        "salt", F.pmod(F.xxhash64("turn_idx"), F.lit(n_salts)).cast("int")
+        "salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts)).cast("int")
     )
 
 
@@ -37,18 +39,21 @@ def salted_agg(
     df: DataFrame,
     partials: Sequence[tuple[Column, str, Column]],
     n_salts: int = 16,
+    key: str = "conv_id",
+    salt_from: str = "turn_idx",
 ) -> DataFrame:
-    """Two-phase conv_id aggregation.
+    """Two-phase keyed aggregation (default: by conv_id, salted on
+    turn_idx — the transcript shape).
 
     ``partials`` is a list of (partial_expr, name, final_expr_over_name):
     e.g. ``(F.count("*"), "c", F.sum("c"))`` or
     ``(F.collect_set("x"), "s", F.array_distinct(F.flatten(F.collect_list("s"))))``.
     """
-    salted = with_salt(df, n_salts)
-    stage1 = salted.groupBy("conv_id", "salt").agg(
+    salted = with_salt(df, n_salts, salt_from=salt_from)
+    stage1 = salted.groupBy(key, "salt").agg(
         *[expr.alias(name) for expr, name, _ in partials]
     )
-    return stage1.groupBy("conv_id").agg(
+    return stage1.groupBy(key).agg(
         *[final.alias(name) for _, name, final in partials]
     )
 
