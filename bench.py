@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "near_dup_scored",
     "corpus_clean",
     "minhash128_pairs",
+    "minhash128_full_pairs",
+    "dedup_components",
+    "skew_salted_stats",
     "ann_lsh_top5",
     "ann_ivf_top5",
     "emb_near_dup",
