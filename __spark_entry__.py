@@ -324,19 +324,39 @@ def _extraction_queries() -> dict[str, Callable]:
         """The documented rank1-vs-greedy approximation bound as a
         driver-visible metric row (SURVEY §7.2; pytest bounds it <5%).
         Span identity must be unaffected; only contended image
-        assignments may differ. Rows-only by nature (compares two
-        Spark plans — no SQL restatement exists)."""
-        greedy = pipeline.extract(
-            _derived_transcripts(spark, sf_dir), mode="relational", merge="greedy"
-        ).select(
-            "conv_id", "turn_idx", "seq",
-            F.to_json("image_ids").alias("imgs_g"),
+        assignments may differ. Both merge plans' assignments are
+        materialized, and DuckDB independently recomputes the
+        full-outer join + divergence counters over the same bytes —
+        the metric computation itself is on the hash gate (the two
+        input plans are additionally cross-checked against the fused
+        kernel by x_extract_relational / test_parity)."""
+        from xtract import mat
+
+        greedy = mat.materialize(
+            spark,
+            sf_dir,
+            "merge_greedy_imgs",
+            lambda: pipeline.extract(
+                _derived_transcripts(spark, sf_dir),
+                mode="relational",
+                merge="greedy",
+            ).select(
+                "conv_id", "turn_idx", "seq",
+                F.to_json("image_ids").alias("imgs_g"),
+            ),
         )
-        rank1 = pipeline.extract(
-            _derived_transcripts(spark, sf_dir), mode="relational", merge="rank1"
-        ).select(
-            "conv_id", "turn_idx", "seq",
-            F.to_json("image_ids").alias("imgs_r"),
+        rank1 = mat.materialize(
+            spark,
+            sf_dir,
+            "merge_rank1_imgs",
+            lambda: pipeline.extract(
+                _derived_transcripts(spark, sf_dir),
+                mode="relational",
+                merge="rank1",
+            ).select(
+                "conv_id", "turn_idx", "seq",
+                F.to_json("image_ids").alias("imgs_r"),
+            ),
         )
         j = greedy.join(rank1, ["conv_id", "turn_idx", "seq"], "full_outer")
         return j.agg(
@@ -390,6 +410,8 @@ def _extraction_oracles() -> dict[str, str]:
     blocks = mat.glob("sf0.01", "blocks")
     pdf_staged = mat.glob("sf0.01", "pdf_staged")
     groups = mat.glob("sf0.01", "groups")
+    greedy_imgs = mat.glob("sf0.01", "merge_greedy_imgs")
+    rank1_imgs = mat.glob("sf0.01", "merge_rank1_imgs")
     # same char class the Spark plans rlike (single source of truth)
     term_re = f"[{assemble.TERMINAL}]" + r"\s*$"
 
@@ -508,6 +530,25 @@ def _extraction_oracles() -> dict[str, str]:
             select conv_id, turn_idx, group_seq, gtype, block_ids_csv,
                    bx1, by1, bx2, by2, merged_text
             from read_parquet('{groups}')
+        """,
+        "x_rank1_divergence": f"""
+            with j as (
+              select coalesce(g.conv_id, r.conv_id) as conv_id,
+                     g.imgs_g, r.imgs_r
+              from read_parquet('{greedy_imgs}') g
+              full outer join read_parquet('{rank1_imgs}') r
+                on g.conv_id = r.conv_id and g.turn_idx = r.turn_idx
+               and g.seq = r.seq
+            )
+            select cast(count(*) as bigint) as spans,
+                   cast(count_if(imgs_g is null or imgs_r is null) as bigint)
+                     as identity_mismatches,
+                   cast(count_if(imgs_g <> imgs_r) as bigint)
+                     as diverging_assignments,
+                   cast(floor(10000.0 * count_if(imgs_g <> imgs_r)
+                              / greatest(count(*), 1)) as bigint)
+                     as divergence_bp
+            from j
         """,
         "x_assemble": asm_cte()
         + """
