@@ -258,3 +258,114 @@ def test_assemble_stream_rejects_out_of_order_arrival(spark, tmp_path):
             str(tmp_path / "out"),
             str(tmp_path / "ck"),
         )
+
+
+def _write_span_batches(spark, tmp_path, spans_pdf, order_key, n_batches):
+    """Write span rows as n_batches parquet files in order_key order
+    with ascending mtimes (maxFilesPerTrigger=1 → one batch each)."""
+    import os
+
+    import numpy as np
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spans_pdf = spans_pdf.sort_values(order_key, kind="stable").reset_index(drop=True)
+    chunks = np.array_split(spans_pdf.index.values, n_batches)
+    sschema = (
+        "conv_id string, turn_idx int, seq int, question_number int, "
+        "span_text string"
+    )
+    import glob as globmod
+    import shutil
+
+    for i, idx in enumerate(c for c in chunks if len(c)):
+        part = spans_pdf.loc[idx, ["conv_id", "turn_idx", "seq", "question_number", "span_text"]]
+        d = f"{src}/b{i}.d"
+        spark.createDataFrame(part, sschema).coalesce(1).write.parquet(d)
+        (f,) = globmod.glob(d + "/part-*.parquet")
+        dst = f"{src}/batch{i:03d}.parquet"
+        shutil.move(f, dst)
+        shutil.rmtree(d)
+        os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+    return src, sschema
+
+
+def test_assemble_stream_unordered_bounded_jitter_parity(spark, tmp_path):
+    """Bounded-disorder assembly: spans arrive jittered by up to
+    L-1 turns (deterministic per-span jitter), cut into 6 micro-batches;
+    reconstruct_unordered(emitted) must equal the batch sparse assembly
+    segment-for-segment."""
+    from xtract import assemble
+
+    L = 6
+    spans = pipeline.extract(gen.transcripts(spark, 10, partitions=4), mode="fused")
+    spans = spans.select(
+        "conv_id", "turn_idx", "seq", "question_number", "span_text"
+    ).cache()
+    pdf = spans.toPandas()
+    # deterministic jitter < L; tie-break keeps intra-turn (seq) order
+    # shuffled too (hash on seq)
+    pdf["jit"] = [
+        (hash((c, t, s)) % L) for c, t, s in zip(pdf.conv_id, pdf.turn_idx, pdf.seq)
+    ]
+    pdf["akey"] = pdf.turn_idx + pdf.jit
+    src, sschema = _write_span_batches(spark, tmp_path, pdf, ["akey"], 6)
+
+    stream = (
+        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(
+        streaming.assemble_stream_unordered(stream, lateness_turns=L),
+        out,
+        str(tmp_path / "ck"),
+    )
+    rec = streaming.reconstruct_unordered(spark.read.parquet(out))
+    got = sorted(
+        (
+            (r.conv_id, r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.qtype, r.score, r.span_text, r.n_parts)
+            for r in rec.collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r.conv_id, r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.qtype, r.score, r.span_text, r.n_parts)
+            for r in assemble.merge_continuations_sparse(spans).collect()
+        ),
+        key=repr,
+    )
+    assert got == want and len(got) > 0
+    spans.unpersist()
+
+
+def test_assemble_stream_unordered_rejects_beyond_bound(spark, tmp_path):
+    """A span later than lateness_turns fails the query loudly."""
+    import pandas as pd
+
+    from pyspark.errors import StreamingQueryException
+
+    rows = pd.DataFrame(
+        [
+            ("c", 0, 0, 1, "1、甲题"),
+            # turn 9 advances the frontier to 6 -> turn 0 is consumed
+            ("c", 9, 0, 2, "2、乙题"),
+            # then another turn-0 span arrives: behind the consumed
+            # frontier, unrecoverable at L=3
+            ("c", 0, 1, None, "超出乱序界限的续页"),
+        ],
+        columns=["conv_id", "turn_idx", "seq", "question_number", "span_text"],
+    )
+    rows["akey"] = [0, 1, 2]  # arrival order as listed
+    src, sschema = _write_span_batches(spark, tmp_path, rows, ["akey"], 3)
+    stream = (
+        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    with pytest.raises(StreamingQueryException, match="disorder bound exceeded"):
+        streaming.run_to_parquet(
+            streaming.assemble_stream_unordered(stream, lateness_turns=3),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )

@@ -158,50 +158,42 @@ _ASM_STATE = T.StructType(
 )
 
 
-def _asm_fn(key, pdf_iter, state: GroupState):
-    from . import assemble, oracle
+_TAIL_FIELDS = (
+    "head_turn", "head_seq", "question_number", "text", "n_parts",
+    "turn_last", "last_text", "last_phys", "last_seq",
+)
 
-    (conv_id,) = key
-    tail = None
-    if state.exists:
-        ht, hs, qn, text, n, tl, lt, lp, ls = state.get
-        tail = {
-            "head_turn": ht,
-            "head_seq": hs,
-            "question_number": qn,
-            "text": text,
-            "n_parts": n,
-            "turn_last": tl,
-            "last_text": lt,
-            "last_phys": lp,
-            "last_seq": ls,
-        }
 
+def _tail_pack(tail: dict) -> tuple:
+    return tuple(tail[f] for f in _TAIL_FIELDS)
+
+
+def _tail_unpack(values) -> dict:
+    return dict(zip(_TAIL_FIELDS, values))
+
+
+def _collect_rows(pdf_iter) -> list[tuple]:
     rows = []
     for pdf in pdf_iter:
         for r in pdf.itertuples():
             phys = r.phys if not pd.isna(r.phys) else r.seq
             qn = None if pd.isna(r.question_number) else int(r.question_number)
-            text = None if isinstance(r.span_text, float) and pd.isna(r.span_text) else r.span_text
-            rows.append((int(r.turn_idx), int(phys), int(r.seq), qn, text))
-    rows.sort(key=lambda x: (x[0], x[1], x[2]))
-
-    # Arrival-contract guard: a span at or before the last consumed
-    # position cannot retract already-emitted segments — surface the
-    # violation instead of silently corrupting output. (Intra-batch
-    # disorder is legal: the sort above canonicalizes it.)
-    if tail is not None and rows:
-        last_pos = (tail["turn_last"], tail["last_phys"], tail["last_seq"])
-        first = rows[0][:3]
-        if first <= last_pos:
-            raise ValueError(
-                f"assemble_stream order violation in conv {conv_id!r}: "
-                f"span {first} arrived after {last_pos} was consumed — "
-                "producer must deliver per-conversation spans in "
-                "(turn, phys, seq) order across micro-batches"
+            text = (
+                None
+                if isinstance(r.span_text, float) and pd.isna(r.span_text)
+                else r.span_text
             )
+            rows.append((int(r.turn_idx), int(phys), int(r.seq), qn, text))
+    return rows
 
-    closed = []
+
+def _advance(tail: dict | None, rows: list[tuple]) -> tuple[list[dict], dict | None]:
+    """The continuation walk: fold sorted span rows into (closed
+    segments, new open tail) — shared by the ordered and reorder-buffer
+    operators and identical to the batch algorithms' per-segment rule."""
+    from . import assemble
+
+    closed: list[dict] = []
     for turn, phys, seq, qn, text in rows:
         cont = (
             tail is not None
@@ -230,41 +222,61 @@ def _asm_fn(key, pdf_iter, state: GroupState):
                 "last_phys": phys,
                 "last_seq": seq,
             }
+    return closed, tail
 
-    if tail is not None:
-        state.update(
-            (
-                tail["head_turn"],
-                tail["head_seq"],
-                tail["question_number"],
-                tail["text"],
-                tail["n_parts"],
-                tail["turn_last"],
-                tail["last_text"],
-                tail["last_phys"],
-                tail["last_seq"],
+
+def _seg_row(conv_id, seg: dict, final: bool, epoch: int | None = None) -> dict:
+    from . import oracle
+
+    safe = seg["text"] or ""
+    row = {
+        "conv_id": conv_id,
+        "head_turn": seg["head_turn"],
+        "head_seq": seg["head_seq"],
+        "turn_first": seg["head_turn"],
+        "turn_last": seg["turn_last"],
+        "question_number": seg["question_number"],
+        "qtype": oracle.classify_qtype(safe),
+        "score": oracle.extract_score(safe),
+        "span_text": seg["text"],
+        "n_parts": seg["n_parts"],
+        "final": final,
+    }
+    if epoch is not None:
+        row["epoch"] = epoch
+    return row
+
+
+def _asm_fn(key, pdf_iter, state: GroupState):
+    (conv_id,) = key
+    tail = _tail_unpack(state.get) if state.exists else None
+
+    rows = _collect_rows(pdf_iter)
+    rows.sort(key=lambda x: (x[0], x[1], x[2]))
+
+    # Arrival-contract guard: a span at or before the last consumed
+    # position cannot retract already-emitted segments — surface the
+    # violation instead of silently corrupting output. (Intra-batch
+    # disorder is legal: the sort above canonicalizes it.)
+    if tail is not None and rows:
+        last_pos = (tail["turn_last"], tail["last_phys"], tail["last_seq"])
+        first = rows[0][:3]
+        if first <= last_pos:
+            raise ValueError(
+                f"assemble_stream order violation in conv {conv_id!r}: "
+                f"span {first} arrived after {last_pos} was consumed — "
+                "producer must deliver per-conversation spans in "
+                "(turn, phys, seq) order across micro-batches "
+                "(bounded disorder → assemble_stream_unordered)"
             )
-        )
 
-    def to_row(seg, final):
-        safe = seg["text"] or ""
-        return {
-            "conv_id": conv_id,
-            "head_turn": seg["head_turn"],
-            "head_seq": seg["head_seq"],
-            "turn_first": seg["head_turn"],
-            "turn_last": seg["turn_last"],
-            "question_number": seg["question_number"],
-            "qtype": oracle.classify_qtype(safe),
-            "score": oracle.extract_score(safe),
-            "span_text": seg["text"],
-            "n_parts": seg["n_parts"],
-            "final": final,
-        }
-
-    out = [to_row(s, True) for s in closed]
+    closed, tail = _advance(tail, rows)
     if tail is not None:
-        out.append(to_row(tail, False))
+        state.update(_tail_pack(tail))
+
+    out = [_seg_row(conv_id, s, True) for s in closed]
+    if tail is not None:
+        out.append(_seg_row(conv_id, tail, False))
     if out:
         yield pd.DataFrame(out, columns=[f.name for f in ASSEMBLED_STREAM.fields])
 
@@ -308,6 +320,146 @@ def assemble_stream(spans: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- unordered assembly
+# Reorder-buffer variant of assemble_stream for producers with BOUNDED
+# disorder (a span may arrive up to `lateness_turns` turns late —
+# the crawl-retry / multi-fetcher shape). State additionally holds the
+# not-yet-consumable spans and the per-conversation turn high-water
+# mark; spans are folded into segments only once the frontier
+# (max_seen - lateness) passes them, so any legal late arrival still
+# lands in order. Provisional segments beyond the frontier re-emit
+# each batch under an increasing epoch; consumers keep final rows plus
+# the max-epoch non-final rows per conversation.
+
+ASSEMBLED_STREAM_EPOCH = T.StructType(
+    ASSEMBLED_STREAM.fields + [T.StructField("epoch", T.IntegerType(), False)]
+)
+
+_ASM_U_STATE = T.StructType(
+    [
+        T.StructField("tail_json", T.StringType(), True),
+        T.StructField("pending_json", T.StringType(), False),
+        T.StructField("max_seen", T.IntegerType(), False),
+        T.StructField("consumed_to", T.IntegerType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
+    ]
+)
+
+
+def _make_asm_u_fn(lateness_turns: int):
+    import json
+
+    def fn(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        tail, pending, max_seen, consumed_to, epoch = None, [], -(1 << 30), -(1 << 30), 0
+        if state.exists:
+            tail_json, pending_json, max_seen, consumed_to, epoch = state.get
+            tail = _tail_unpack(json.loads(tail_json)) if tail_json else None
+            pending = [tuple(p) for p in json.loads(pending_json)]
+
+        rows = _collect_rows(pdf_iter)
+        for r in rows:
+            if r[0] <= consumed_to:
+                raise ValueError(
+                    f"assemble_stream_unordered disorder bound exceeded in "
+                    f"conv {conv_id!r}: turn {r[0]} arrived after the "
+                    f"frontier consumed through turn {consumed_to} "
+                    f"(lateness_turns={lateness_turns} too small for this "
+                    "producer)"
+                )
+            max_seen = max(max_seen, r[0])
+        pending.extend(rows)
+        pending.sort(key=lambda x: (x[0], x[1], x[2]))
+
+        frontier = max_seen - lateness_turns
+        ready = [p for p in pending if p[0] <= frontier]
+        hold = [p for p in pending if p[0] > frontier]
+
+        closed, tail = _advance(tail, ready)
+        # provisional pass over a COPY of the committed tail + held
+        # spans: what the segments will look like if the stream ended
+        # now; never committed, re-derived each batch
+        p_closed, p_tail = _advance(dict(tail) if tail else None, hold)
+
+        epoch += 1
+        state.update(
+            (
+                json.dumps(_tail_pack(tail)) if tail else None,
+                json.dumps(hold),
+                max_seen,
+                max(consumed_to, max(atuple[0] for atuple in ready) if ready else consumed_to),
+                epoch,
+            )
+        )
+
+        out = [_seg_row(conv_id, s, True, epoch) for s in closed]
+        out.extend(_seg_row(conv_id, s, False, epoch) for s in p_closed)
+        if p_tail is not None:
+            out.append(_seg_row(conv_id, p_tail, False, epoch))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSEMBLED_STREAM_EPOCH.fields]
+            )
+
+    return fn
+
+
+def assemble_stream_unordered(
+    spans: DataFrame, lateness_turns: int = 8
+) -> DataFrame:
+    """Streaming continuation assembly tolerating bounded arrival
+    disorder: spans may arrive up to ``lateness_turns`` turns late in
+    any intra-window order. Rows carry an ``epoch``; reconstruction =
+    final rows + each conversation's max-epoch non-final rows whose
+    (head_turn, head_seq) no final row claims. A span later than the
+    bound fails the query loudly (the ordered operator's guard,
+    generalized)."""
+    has_bbox = "bbox" in spans.columns
+    phys = (
+        F.when(F.size(F.col("bbox")) == 4, F.col("bbox")[1]).otherwise(F.col("seq"))
+        if has_bbox
+        else F.col("seq")
+    )
+    keyed = spans.select(
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "question_number",
+        "span_text",
+        phys.cast("int").alias("phys"),
+    )
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        _make_asm_u_fn(lateness_turns),
+        outputStructType=ASSEMBLED_STREAM_EPOCH,
+        stateStructType=_ASM_U_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reconstruct_unordered(emitted: DataFrame) -> DataFrame:
+    """Batch reconstruction of assemble_stream_unordered output (the
+    consumer rule, as a DataFrame op): final rows ∪ max-epoch
+    non-final rows not superseded by a final with the same head."""
+    from pyspark.sql import Window
+
+    finals = emitted.where("final")
+    max_ep = (
+        emitted.where(~F.col("final"))
+        .withColumn(
+            "_me", F.max("epoch").over(Window.partitionBy("conv_id"))
+        )
+        .where(F.col("epoch") == F.col("_me"))
+        .drop("_me")
+    )
+    open_rows = max_ep.join(
+        finals.select("conv_id", "head_turn", "head_seq"),
+        ["conv_id", "head_turn", "head_seq"],
+        "left_anti",
+    )
+    return finals.unionByName(open_rows)
 
 
 def read_pdf_stream(spark: SparkSession, path: str) -> DataFrame:
