@@ -150,3 +150,41 @@ def test_ivf_recall(spark, emb, exact):
 
 def test_exact_topk_is_sane(exact):
     assert len(exact) == 15 * 5
+
+
+def test_resize_images_and_passthrough(spark):
+    """resize: MEDIA → MEDIA; images re-decode with the target dims
+    and a deterministic payload, audio/video pass through untouched —
+    so the stage chains with decode/embed without plan changes."""
+    from xtract import multimodal as mm
+
+    media = mm.gen_media(spark, 30, partitions=4)
+    resized = mm.resize(media, 224, 224)
+    dec = {r.media_id: r for r in mm.decode(resized).collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    assert len(dec) == 30
+    for mid, r in dec.items():
+        if orig[mid].kind == "image":
+            assert (r.width, r.height) == (224, 224)
+        else:
+            # non-image payload bytes unchanged
+            pass
+    untouched = {
+        r.media_id: bytes(r.payload)
+        for r in resized.collect()
+        if r.kind != "image"
+    }
+    for mid, buf in untouched.items():
+        assert buf == bytes(orig[mid].payload)
+    # deterministic: same input + dims → same bytes
+    again = {
+        r.media_id: bytes(r.payload)
+        for r in mm.resize(media, 224, 224).collect()
+    }
+    assert again == {r.media_id: bytes(r.payload) for r in resized.collect()}
+    # embeddings over resized images still unit-norm and consumable
+    emb = mm.embed(resized).collect()
+    assert len(emb) == 30
+    for r in emb:
+        n = sum(v * v for v in r.embedding) ** 0.5
+        assert abs(n - 1.0) < 1e-5

@@ -180,6 +180,37 @@ def sample_frames(media: DataFrame, every_ms: int = 5000, max_frames: int = 8) -
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAMES)
 
 
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage for image payloads (MEDIA in → MEDIA out, so it
+    chains with decode/embed/sample_frames unchanged). For the FAKEMM
+    container the output blob carries the target dims and a payload
+    deterministically derived from (source body, target dims) —
+    standing in for the interpolated pixels; a real PIL/cv2 resize
+    slots into the same kernel signature at deployment. Non-image rows
+    pass through untouched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "meta")}
+            for mid, kind, buf, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                buf = bytes(buf)
+                if kind == "image":
+                    _, _, _, _, body = _parse_fake(buf)
+                    seed = body + _struct.pack(">II", width, height)
+                    buf = fake_blob("image", width, height, 0, seed)
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = width, height
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["payload"].append(buf)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=MEDIA)
+
+
 FEATURES = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
