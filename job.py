@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         help="optional sink for near-duplicate span pairs (winnowing fingerprints)",
     )
     ap.add_argument(
+        "--dup-clusters",
+        default=None,
+        help="optional sink for near-duplicate span CLUSTER labels "
+        "(winnowing-fingerprint pair graph closed with "
+        "large-star/small-star connected components)",
+    )
+    ap.add_argument(
         "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
     )
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
@@ -149,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
         catalog.write_ref(
             fingerprint.dup_spans(catalog.read_ref(spark, args.output)),
             args.dup_pairs,
+            bucket_col=None,
+        )
+    if args.dup_clusters:
+        import pyspark.sql.functions as F
+
+        from xtract import cc, fingerprint
+
+        pairs = fingerprint.dup_spans(
+            catalog.read_ref(spark, args.output)
+        ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        labels, _ = cc.connected_components(pairs)
+        catalog.write_ref(
+            labels.withColumnRenamed("node", "span_key").withColumnRenamed(
+                "rep", "cluster_rep"
+            ),
+            args.dup_clusters,
             bucket_col=None,
         )
 
