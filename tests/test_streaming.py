@@ -369,3 +369,86 @@ def test_assemble_stream_unordered_rejects_beyond_bound(spark, tmp_path):
             str(tmp_path / "out"),
             str(tmp_path / "ck"),
         )
+
+
+def test_assemble_stream_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resumability on the streaming path: drain batch 0
+    with availableNow, STOP, add batch 1, restart with the SAME
+    checkpoint dir — GroupState (the open tail, possibly mid-chain)
+    recovers from the state store and the combined output still equals
+    the batch sparse assembly."""
+    from xtract import assemble, gen
+
+    spans = pipeline.extract(gen.transcripts(spark, 8, partitions=4), mode="fused")
+    spans = spans.select(
+        "conv_id", "turn_idx", "seq", "question_number", "span_text", "bbox"
+    ).cache()
+    mid = spans.agg(F.expr("percentile_approx(turn_idx, 0.5)")).collect()[0][0]
+
+    import glob as globmod
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sschema = (
+        "conv_id string, turn_idx int, seq int, question_number int, "
+        "span_text string, bbox array<int>"
+    )
+
+    def add_batch(df, i):
+        d = f"{src}/b{i}.d"
+        df.coalesce(1).write.parquet(d)
+        (f,) = globmod.glob(d + "/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+        shutil.rmtree(d)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # run 1: only the first half exists
+    add_batch(spans.filter(F.col("turn_idx") <= mid), 0)
+    stream = spark.readStream.schema(sschema).parquet(src)
+    streaming.run_to_parquet(streaming.assemble_stream(stream), out, ck)
+
+    # run 2: second half arrives after a full stop/restart
+    add_batch(spans.filter(F.col("turn_idx") > mid), 1)
+    stream = spark.readStream.schema(sschema).parquet(src)
+    streaming.run_to_parquet(streaming.assemble_stream(stream), out, ck)
+
+    emitted = spark.read.parquet(out).collect()
+    finals, tails = {}, {}
+    for r in emitted:
+        key = (r.conv_id, r.head_turn, r.head_seq)
+        if r.final:
+            finals[key] = r
+        else:
+            prev = tails.get(r.conv_id)
+            if prev is None or (r.head_turn, r.head_seq, r.n_parts) >= (
+                prev.head_turn, prev.head_seq, prev.n_parts,
+            ):
+                tails[r.conv_id] = r
+    for conv, r in tails.items():
+        key = (conv, r.head_turn, r.head_seq)
+        if key not in finals:
+            finals[key] = r
+
+    got = sorted(
+        (
+            (k[0], r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.span_text, r.n_parts)
+            for k, r in finals.items()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r.conv_id, r.head_turn, r.head_seq, r.turn_first, r.turn_last,
+             r.question_number, r.span_text, r.n_parts)
+            for r in assemble.merge_continuations_sparse(spans).collect()
+        ),
+        key=repr,
+    )
+    assert got == want and len(got) > 0
+    spans.unpersist()
