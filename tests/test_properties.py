@@ -121,3 +121,89 @@ def test_payload_b_image_exclusivity(seed):
                 ib = blocks[img]["block_bbox"]
                 assert bb[0] <= ib[0] and bb[1] <= ib[1]
                 assert bb[2] >= ib[2] and bb[3] >= ib[3]
+
+
+# ---- round-3 kernels: hypothesis over the hashing/CC primitives ----
+_any_text = st.text(
+    alphabet=st.characters(
+        codec="utf-32-be", categories=("L", "N", "P", "Z", "S")
+    ),
+    max_size=600,
+)
+
+
+@given(_any_text, st.sampled_from([None, 7, 100]))
+@settings(max_examples=150, deadline=None)
+def test_fingerprints_np_matches_naive_any_text(text, cap):
+    from xtract import fingerprint as fp
+
+    assert fp.fingerprints_np(text, cap=cap).tolist() == fp.fingerprints_naive(
+        text, cap=cap
+    )
+
+
+@given(_any_text, st.integers(20, 80))
+@settings(max_examples=60, deadline=None)
+def test_fingerprints_chunk_invariance_any_text(text, chunk):
+    """Chunk size is semantically invisible for every text and chunk
+    width ≥ K+W-1."""
+    from xtract import fingerprint as fp
+
+    want = fp.fingerprints_np(text, cap=None).tolist()
+    orig = fp.CHUNK
+    try:
+        fp.CHUNK = chunk
+        assert fp.fingerprints_np(text, cap=None).tolist() == want
+    finally:
+        fp.CHUNK = orig
+
+
+@given(_any_text)
+@settings(max_examples=60, deadline=None)
+def test_minhash_signature_matches_naive_any_text(text):
+    from xtract import minhash as mh
+
+    got = mh.signature_np(text, cap=None)
+    want = mh.signature_naive(text, cap=None)
+    assert (got is None) == (want is None)
+    if want is not None:
+        assert got.tolist() == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_cc_labels_match_union_find_random_graphs(pairs):
+    """Star CC equals union-find for arbitrary small graphs (self-loops
+    and duplicates included). Uses a shared module session."""
+    import pyspark.sql.functions as F
+
+    from xtract import cc, session
+
+    real = [(a, b) for a, b in pairs if a != b]
+    if not real:
+        return
+    spark = session.build(cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(real, "a long, b long")
+    labels, _ = cc.connected_components(df)
+    got = {r["node"]: r["rep"] for r in labels.collect()}
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
