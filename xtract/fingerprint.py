@@ -97,12 +97,15 @@ def fingerprints_np(text: str, cap: int | None = CAP) -> np.ndarray:
     n = len(t)
     if n < K + W - 1:
         return np.empty(0, dtype=np.int64)
-    if n <= CHUNK:
+    # a chunk shorter than one full hash window cannot advance the
+    # loop (step = chunk - (K+W-2) would be ≤ 0) — clamp defensively
+    chunk = max(CHUNK, K + W - 1)
+    if n <= chunk:
         return np.unique(_winnow_chunk(t))
     sels = []
     start = 0
     while start <= n - (K + W - 1):
-        end = min(n, start + CHUNK)
+        end = min(n, start + chunk)
         sels.append(_winnow_chunk(t[start:end]))
         if end == n:
             break

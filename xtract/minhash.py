@@ -74,9 +74,12 @@ def _hash_chunks(t: str):
     """Yield the K-shingle polynomial hash stream of ``t`` in CHUNK-char
     pieces (overlap K-1 ⇒ contiguous, duplicate-free positions)."""
     n = len(t)
+    # a chunk shorter than one shingle cannot advance the loop
+    # (step = chunk - (K-1) would be ≤ 0) — clamp defensively
+    chunk_len = max(CHUNK, K)
     start = 0
     while start <= n - K:
-        chunk = t[start : min(n, start + CHUNK)]
+        chunk = t[start : min(n, start + chunk_len)]
         cp = np.frombuffer(chunk.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int64
         )
@@ -85,9 +88,9 @@ def _hash_chunks(t: str):
         for j in range(K):
             h = (h * B + cp[j : j + npos]) % M
         yield h
-        if start + CHUNK >= n:
+        if start + chunk_len >= n:
             break
-        start += CHUNK - (K - 1)
+        start += chunk_len - (K - 1)
 
 
 def shingle_hashes_np(text: str, cap: int | None = CAP) -> np.ndarray:
