@@ -266,7 +266,7 @@ def _extraction_queries() -> dict[str, Callable]:
         per-conversation arrival contract, so cross-batch chain cuts
         stay pinned by tests/test_streaming.py instead."""
         import os
-        import tempfile
+        import shutil
 
         from pyspark.sql import Window
 
@@ -274,15 +274,20 @@ def _extraction_queries() -> dict[str, Callable]:
 
         spans = _spans_mat(spark, sf_dir)
         src = mat.path(sf_dir, "spans")
-        tmp = tempfile.mkdtemp(prefix="xasm_")
+        # fixed scale-keyed location, wiped per run: no /tmp
+        # accumulation, and a stale state-store checkpoint (which would
+        # mark the source files already-processed and emit nothing) can
+        # never survive into this drain
+        base = mat.path(sf_dir, "asm_stream_run")
+        shutil.rmtree(base, ignore_errors=True)
         streaming.run_to_parquet(
             streaming.assemble_stream(
                 spark.readStream.schema(spans.schema).parquet(src)
             ),
-            os.path.join(tmp, "out"),
-            os.path.join(tmp, "ck"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
         )
-        emitted = spark.read.parquet(os.path.join(tmp, "out"))
+        emitted = spark.read.parquet(os.path.join(base, "out"))
         cols = [
             "conv_id", "head_turn", "head_seq", "turn_first", "turn_last",
             "question_number", "span_text", "n_parts",

@@ -150,30 +150,31 @@ def main(argv: list[str] | None = None) -> int:
         catalog.write_ref(
             asm_fn(catalog.read_ref(spark, args.output)), args.assembled
         )
-    if args.dup_pairs:
+    if args.dup_pairs or args.dup_clusters:
         from xtract import fingerprint
 
-        catalog.write_ref(
-            fingerprint.dup_spans(catalog.read_ref(spark, args.output)),
-            args.dup_pairs,
-            bucket_col=None,
-        )
-    if args.dup_clusters:
-        import pyspark.sql.functions as F
+        pairs = fingerprint.dup_spans(catalog.read_ref(spark, args.output))
+        if args.dup_pairs:
+            catalog.write_ref(pairs, args.dup_pairs, bucket_col=None)
+            # reuse the written bytes — the fingerprint kernel and pair
+            # self-join run once even when both sinks are requested
+            pairs = catalog.read_ref(spark, args.dup_pairs)
+        if args.dup_clusters:
+            import pyspark.sql.functions as F
 
-        from xtract import cc, fingerprint
+            from xtract import cc
 
-        pairs = fingerprint.dup_spans(
-            catalog.read_ref(spark, args.output)
-        ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        labels, _ = cc.connected_components(pairs)
-        catalog.write_ref(
-            labels.withColumnRenamed("node", "span_key").withColumnRenamed(
-                "rep", "cluster_rep"
-            ),
-            args.dup_clusters,
-            bucket_col=None,
-        )
+            edges = pairs.select(
+                F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+            )
+            labels, _ = cc.connected_components(edges)
+            catalog.write_ref(
+                labels.withColumnRenamed("node", "span_key").withColumnRenamed(
+                    "rep", "cluster_rep"
+                ),
+                args.dup_clusters,
+                bucket_col=None,
+            )
 
     wall = time.monotonic() - t0
     print(

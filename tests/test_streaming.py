@@ -303,10 +303,12 @@ def test_assemble_stream_unordered_bounded_jitter_parity(spark, tmp_path):
         "conv_id", "turn_idx", "seq", "question_number", "span_text"
     ).cache()
     pdf = spans.toPandas()
-    # deterministic jitter < L; tie-break keeps intra-turn (seq) order
-    # shuffled too (hash on seq)
+    # deterministic jitter up to and INCLUDING L (the documented
+    # inclusive bound); tie-break keeps intra-turn (seq) order shuffled
+    # too (hash on seq)
     pdf["jit"] = [
-        (hash((c, t, s)) % L) for c, t, s in zip(pdf.conv_id, pdf.turn_idx, pdf.seq)
+        (hash((c, t, s)) % (L + 1))
+        for c, t, s in zip(pdf.conv_id, pdf.turn_idx, pdf.seq)
     ]
     pdf["akey"] = pdf.turn_idx + pdf.jit
     src, sschema = _write_span_batches(spark, tmp_path, pdf, ["akey"], 6)

@@ -122,12 +122,10 @@ def write_ref(
                 raise ValueError(f"unsafe btable name: {name!r}")
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
             loc = (
-                os.path.join(wh, parts[0])
+                os.path.join(wh, parts[-1])
                 if len(parts) == 1 or parts[0] == "default"
-                else os.path.join(wh, f"{parts[0]}.db", parts[-1])
+                else os.path.join(wh, f"{parts[0]}.db", parts[1])
             )
-            if len(parts) == 2 and parts[0] == "default":
-                loc = os.path.join(wh, parts[1])
             shutil.rmtree(loc, ignore_errors=True)
         w = df.write.mode(mode).format("parquet")
         if bucket_col is not None and bucket_col in df.columns:

@@ -48,11 +48,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("mv", "u").alias("m")
     )
+    # no distinct here: small-star's orient+distinct dedups the round's
+    # output anyway, and duplicate edges don't change any min — one
+    # fewer shuffle per round
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 
@@ -112,13 +114,17 @@ def connected_components(
     the component minimum. Isolated nodes (no edges) don't appear —
     callers treat absence as a singleton."""
     sc = edges.sparkSession.sparkContext
+    before0 = _persistent_ids(sc)
     cur = (
         _sym(edges)
         .select(F.col("u").alias("a"), F.col("v").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_added: set[int] = set()
+    # generation 0 participates in the rotation like every other
+    # generation — otherwise the (largest) symmetric edge set stays
+    # pinned in executor storage for the life of the application
+    prev_added: set[int] = _persistent_ids(sc) - before0
     prev_sig = _checksum(cur)
     rounds = 0
     for rounds in range(1, max_rounds + 1):

@@ -1577,10 +1577,13 @@ def _minhash128_cte(cap: int | None = None) -> str:
     kept as (select b.* from bands b join keep using (band, bkey))"""
 
 
-@q(
-    "dedup_components",
-    _minhash128_cte(cap=400)
-    + """
+def _dedup_components_sql() -> str:
+    from . import minhash as mh
+
+    # same cap constant as the Spark side's candidate_pairs default —
+    # a single source of truth so tuning minhash.CAP cannot
+    # desynchronize the two engines
+    return _minhash128_cte(cap=mh.CAP) + """
     , pairs as (
       select a.doc_id as a, b.doc_id as b
       from kept a join kept b
@@ -1597,8 +1600,10 @@ def _minhash128_cte(cap: int | None = None) -> str:
     select rep, cast(count(*) as bigint) as members from (
       select a as doc, least(a, min(b)) as rep from closure group by a
     ) group by rep having count(*) > 1
-    """,
-)
+    """
+
+
+@q("dedup_components", _dedup_components_sql())
 def dedup_components(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the
     PRODUCTION MinHash candidate graph (minhash.candidate_pairs: 128

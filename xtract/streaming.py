@@ -373,9 +373,12 @@ def _make_asm_u_fn(lateness_turns: int):
         pending.extend(rows)
         pending.sort(key=lambda x: (x[0], x[1], x[2]))
 
+        # consume turn t only once max_seen > t + lateness_turns, so a
+        # span arriving EXACTLY lateness_turns late is still legal
+        # (inclusive bound, as documented)
         frontier = max_seen - lateness_turns
-        ready = [p for p in pending if p[0] <= frontier]
-        hold = [p for p in pending if p[0] > frontier]
+        ready = [p for p in pending if p[0] < frontier]
+        hold = [p for p in pending if p[0] >= frontier]
 
         closed, tail = _advance(tail, ready)
         # provisional pass over a COPY of the committed tail + held
