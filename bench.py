@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "w3_lead_gaps",
     "w6_sessionize",
     "j1_time_band_join",
+    "asof_view_before_purchase",
     "j5_broadcast_lookup",
     "g6_iou",
     "r6_qtype_classify",

@@ -70,7 +70,9 @@ def test_cc_persisted_storage_bounded(spark):
     labels.count()
     after = len(cc._persistent_ids(sc))
     assert rounds >= 3  # enough iterations for growth to show if leaked
-    assert after - baseline <= 2, (baseline, after, rounds)
+    # only the FINAL generation may remain (labels read it lazily);
+    # generation 0 and every intermediate must have been released
+    assert after - baseline <= 1, (baseline, after, rounds)
 
 
 def test_components_summary_sizes(spark):

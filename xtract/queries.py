@@ -2019,3 +2019,75 @@ def skew_salted_stats(spark, sf_dir):
         salt_from="event_id",
     )
     return out.select("user_id", "n_events", "types_csv", "ev_min", "ev_max")
+
+
+# =====================================================================
+# As-of join — the time-series operator family (nearest earlier event):
+# Spark lacks a native ASOF JOIN; the scale form is the union +
+# last(ignorenulls) ordered window (ONE shuffle on the join key, no
+# join, no per-key fan-out), cross-checked against DuckDB's native
+# ASOF LEFT JOIN.
+# =====================================================================
+@q(
+    "asof_view_before_purchase",
+    """
+    with v as (
+      -- deterministic tie-break: one view per (user, ts), max event_id
+      select user_id, ts, max(event_id) as view_id
+      from events where event_type = 'view'
+      group by user_id, ts
+    ),
+    p as (
+      select event_id as purchase_id, user_id, ts
+      from events where event_type = 'purchase'
+    )
+    select p.purchase_id, p.user_id,
+           cast(floor(epoch(p.ts)) as bigint) as p_ts,
+           v.view_id,
+           cast(floor(epoch(p.ts)) - floor(epoch(v.ts)) as bigint) as gap_s
+    from p asof left join v
+      on p.user_id = v.user_id and v.ts <= p.ts
+    """,
+)
+def asof_view_before_purchase(spark, sf_dir):
+    """AS-OF join: for every purchase, the most recent view event at or
+    before it by the same user. Implemented as the merge-of-sorted-
+    streams form — tag both sides, ONE window ordered by (ts, side,
+    event_id) per user, last(view, ignorenulls) — which shuffles each
+    row exactly once on the key and never materializes a join
+    (the classic time-series as-of shape that survives 100x; a range
+    join here would fan out per key, an equi-join can't express
+    'nearest earlier'). Ties: views sort before purchases at equal ts
+    (inclusive as-of), max event_id wins among equal-ts views."""
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            "view_id", F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "lv", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "lts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("p_ts"),
+        F.col("lv").alias("view_id"),
+        (_epoch(F.col("ts")) - _epoch(F.col("lts"))).alias("gap_s"),
+    )
