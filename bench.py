@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "g6_iou",
     "r6_qtype_classify",
     "tok_count",
+    "split_train_val",
+    "tfidf_top_terms",
     "minhash_bands",
     "simhash16",
     "emb_cosine_top5",

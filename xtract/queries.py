@@ -2091,3 +2091,111 @@ def asof_view_before_purchase(spark, sf_dir):
         F.col("lv").alias("view_id"),
         (_epoch(F.col("ts")) - _epoch(F.col("lts"))).alias("gap_s"),
     )
+
+
+# =====================================================================
+# Training-data splitting + term weighting (pipeline ops)
+# =====================================================================
+@q(
+    "split_train_val",
+    """
+    select doc_id,
+           cast(cast(('0x' || substr(md5(text), 1, 8)) as bigint) % 100
+                as bigint) as bucket,
+           case when cast(('0x' || substr(md5(text), 1, 8)) as bigint) % 100 < 80
+                then 'train'
+                when cast(('0x' || substr(md5(text), 1, 8)) as bigint) % 100 < 90
+                then 'val' else 'test' end as split
+    from documents
+    """,
+)
+def split_train_val(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split (80/10/10):
+    the bucket is a hash of the TEXT, not the id or a RNG draw, so (a)
+    the split is stable under repartitioning, re-runs and engine
+    changes, and (b) byte-identical duplicate documents land in the
+    SAME split — the standard guard against train/test leakage through
+    exact dups. Pure native column expressions; the same md5-prefix
+    arithmetic is restated in DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    with tok as (
+      select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) as term
+      from documents
+    ),
+    tf as (
+      select doc_id, term, cast(count(*) as bigint) as tf
+      from tok group by doc_id, term
+    ),
+    df as (
+      select term, cast(count(distinct doc_id) as bigint) as df
+      from tf group by term
+    ),
+    n as (select cast(count(*) as bigint) as n from documents),
+    scored as (
+      select tf.doc_id, tf.term, tf.tf,
+             (tf.tf * 1000000 * n.n) // df.df as score_scaled
+      from tf join df using (term) cross join n
+    ),
+    ranked as (
+      select *, row_number() over (
+        partition by doc_id order by score_scaled desc, term
+      ) as rk
+      from scored
+    )
+    select doc_id, cast(rk as int) as rk, term,
+           tf, cast(score_scaled as bigint) as score_scaled
+    from ranked where rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf·idf with a LINEAR idf (N/df) and
+    pure integer scoring — floor(tf·1e6·N/df) — so both engines rank
+    on exact arithmetic (a log-idf in doubles can flip floor()
+    boundaries between libm implementations). The shape is the
+    inverted-index one: explode → (doc, term) counts → term df agg →
+    equi-join back → per-doc top-k window. All shuffles carry token
+    aggregates, never raw text."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.floor(F.col("tf") * F.lit(1000000) * F.lit(n) / F.col("df"))
+        .cast("long")
+        .alias("score_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int"), "term", "tf", "score_scaled")
+    )
