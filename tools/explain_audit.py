@@ -320,6 +320,30 @@ def main() -> None:
         )
     )
 
+    # ---- as-of join: merge-of-sorted-streams, not a join ------------
+    from xtract import queries as qmod
+
+    asof = qmod.QUERIES["asof_view_before_purchase"](spark, "/root/testdata/sf0.001")
+    p = plan_of(asof)
+    sections.append(
+        (
+            "As-of join (union + ordered window — no join operator)",
+            p,
+            [
+                "Nearest-earlier matching compiles to ONE hash exchange on "
+                "user_id and a single Window: each event row shuffles exactly "
+                "once, and no join operator (with its per-key fan-out risk) "
+                "appears anywhere in the plan.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "asof plan is join-free with a single Window over one exchange",
+            "Join" not in p and "Window" in p,
+        )
+    )
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",
