@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "r6_qtype_classify",
     "tok_count",
     "split_train_val",
+    "rep_ratios",
+    "pii_scrub_stats",
     "tfidf_top_terms",
     "minhash_bands",
     "simhash16",

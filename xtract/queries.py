@@ -2199,3 +2199,167 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("rk").cast("int"), "term", "tf", "score_scaled")
     )
+
+
+# =====================================================================
+# Repetition-based quality filters (the Gopher-rule family, public:
+# Rae et al. 2021 §A1.1) + PII pattern statistics — both as native
+# column/window SQL in each engine, integerized to ppm for hashing.
+# =====================================================================
+@q(
+    "rep_ratios",
+    """
+    with l as (
+      select doc_id, trim(line) as line
+      from (
+        select doc_id, unnest(string_split(text, chr(10))) as line
+        from documents
+      ) where length(trim(line)) > 0
+    ),
+    lc as (
+      select doc_id, line, cast(count(*) as bigint) as c,
+             cast(length(line) as bigint) as chars
+      from l group by doc_id, line
+    ),
+    lines_agg as (
+      select doc_id,
+             sum(c) as n_lines,
+             sum(case when c > 1 then c else 0 end) as dup_lines,
+             sum(c * chars) as all_chars,
+             sum(case when c > 1 then c * chars else 0 end) as dup_chars
+      from lc group by doc_id
+    ),
+    tok as (
+      select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks
+      from documents
+    ),
+    bg as (
+      select doc_id, unnest(
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      ) as bigram
+      from tok where len(toks) >= 2
+    ),
+    bgc as (
+      select doc_id, bigram, cast(count(*) as bigint) as c
+      from bg group by doc_id, bigram
+    ),
+    bg_agg as (
+      select doc_id, max(c) as top_c, sum(c) as n_bigrams
+      from bgc group by doc_id
+    )
+    select a.doc_id,
+           cast(a.n_lines as bigint) as n_lines,
+           cast(a.dup_lines * 1000000 // a.n_lines as bigint) as dup_line_ppm,
+           cast(a.dup_chars * 1000000 // greatest(a.all_chars, 1) as bigint)
+             as dup_char_ppm,
+           cast(coalesce(b.top_c * 1000000 // b.n_bigrams, 0) as bigint)
+             as top_bigram_ppm
+    from lines_agg a left join bg_agg b using (doc_id)
+    """,
+)
+def rep_ratios(spark, sf_dir):
+    """Within-document repetition ratios — the Gopher-family quality
+    filters (duplicate-line fraction, duplicate-line CHARACTER
+    fraction, most-common-word-bigram fraction), all as native explode
+    → groupBy aggregates (no UDF, map-side combinable) with ppm
+    integerization so both engines hash identically. At 100 TB these
+    are the cheap first-pass gates that run before any hashing."""
+    d = t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).select("doc_id", F.trim("line").alias("line")).filter(
+        F.length("line") > 0
+    )
+    lc = lines.groupBy("doc_id", "line").agg(
+        F.count("*").cast("long").alias("c"),
+        F.length(F.first("line")).cast("long").alias("chars"),
+    )
+    la = lc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("chars")).alias("all_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bg = (
+        d.select("doc_id", bigrams.alias("bgs"))
+        .filter(F.size("bgs") >= 1)
+        .select("doc_id", F.explode("bgs").alias("bigram"))
+    )
+    bga = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return la.join(bga, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long"),
+        F.floor(F.col("dup_lines") * 1000000 / F.col("n_lines"))
+        .cast("long")
+        .alias("dup_line_ppm"),
+        F.floor(
+            F.col("dup_chars") * 1000000 / F.greatest(F.col("all_chars"), F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_char_ppm"),
+        F.coalesce(
+            F.floor(F.col("top_c") * 1000000 / F.col("n_bigrams")), F.lit(0)
+        )
+        .cast("long")
+        .alias("top_bigram_ppm"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[A-Za-z0-9./_%-]+"
+_PII_PHONE = r"[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+
+def _pii_sql() -> str:
+    return f"""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '{_PII_EMAIL}')) as bigint)
+             as emails,
+           cast(len(regexp_extract_all(text, '{_PII_URL}')) as bigint)
+             as urls,
+           cast(len(regexp_extract_all(text, '{_PII_PHONE}')) as bigint)
+             as phones,
+           cast(length(regexp_replace(
+                  regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_URL}', '<URL>', 'g')) as bigint) as scrubbed_len
+    from documents
+    """
+
+
+@q("pii_scrub_stats", _pii_sql())
+def pii_scrub_stats(spark, sf_dir):
+    """PII pattern statistics + scrub: email/URL/phone hit counts and
+    the post-redaction length, all with explicit ASCII character
+    classes so the Java and RE2 regex engines agree byte-for-byte (the
+    \\d/\\w unicode-divergence lesson applied to the scrubbing pass
+    every published pretraining pipeline runs). Native expressions
+    only — codegen-eligible, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("emails"),
+        F.regexp_count("text", F.lit(_PII_URL)).cast("long").alias("urls"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_URL,
+                "<URL>",
+            )
+        )
+        .cast("long")
+        .alias("scrubbed_len"),
+    )
