@@ -344,6 +344,46 @@ def main() -> None:
         )
     )
 
+    # ---- partitioned sink: partition pruning + column pruning -------
+    import shutil as _shutil
+
+    ppath = "/tmp/xtract_audit_partitioned"
+    _shutil.rmtree(ppath, ignore_errors=True)
+    (
+        pipeline.extract(tr, mode="fused")
+        .withColumn("pb", F.pmod(F.xxhash64("conv_id"), F.lit(16)).cast("int"))
+        .write.partitionBy("pb")
+        .parquet(ppath)
+    )
+    rd = (
+        spark.read.parquet(ppath)
+        .filter(F.col("pb") == 3)
+        .select("conv_id", "turn_idx", "question_number")
+    )
+    p = plan_of(rd)
+    sections.append(
+        (
+            "Partitioned span sink (hive-style pb=… directories)",
+            p,
+            [
+                "A filter on the partition column compiles to PartitionFilters "
+                "— Spark enumerates 1/16th of the directories and never opens "
+                "the rest; ReadSchema carries only the 3 projected columns, so "
+                "span_text (the wide column) never leaves the footer. Together "
+                "these are the two pruning behaviors that make a 100-TB scan "
+                "read terabytes, not the whole table.",
+            ],
+        )
+    )
+    pf_ok = "PartitionFilters" in p and "pb" in p.split("PartitionFilters", 1)[1].splitlines()[0]
+    rs_line = p.split("ReadSchema", 1)[1].splitlines()[0] if "ReadSchema" in p else ""
+    checks.append(
+        (
+            "partitioned sink: partition pruning + span_text pruned from scan",
+            pf_ok and "span_text" not in rs_line,
+        )
+    )
+
     ok = all(v for _, v in checks)
     lines = [
         "# Physical plans — audit (generated by tools/explain_audit.py)",
