@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "tok_count",
     "split_train_val",
     "rep_ratios",
+    "length_quantiles",
     "pii_scrub_stats",
     "tfidf_top_terms",
     "minhash_bands",

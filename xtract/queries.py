@@ -2363,3 +2363,102 @@ def pii_scrub_stats(spark, sf_dir):
         .cast("long")
         .alias("scrubbed_len"),
     )
+
+
+# =====================================================================
+# Data-profiling ops: exact rank-based quantiles + per-column profile
+# (all-integer arithmetic — interpolating quantiles differ between
+# engines in the last ulp and can flip a floor/round boundary)
+# =====================================================================
+@q(
+    "length_quantiles",
+    """
+    with r as (
+      select source, n_chars,
+             row_number() over (partition by source
+                                order by n_chars, doc_id) as rn,
+             count(*) over (partition by source) as n
+      from documents
+    )
+    select source,
+           cast(max(n) as bigint) as docs,
+           cast(max(case when rn = (n - 1) // 2 + 1 then n_chars end)
+                as bigint) as p50_chars,
+           cast(max(case when rn = (9 * (n - 1)) // 10 + 1 then n_chars end)
+                as bigint) as p90_chars,
+           cast(max(case when rn = (99 * (n - 1)) // 100 + 1 then n_chars end)
+                as bigint) as p99_chars,
+           cast(max(n_chars) as bigint) as max_chars
+    from r group by source
+    """,
+)
+def length_quantiles(spark, sf_dir):
+    """Per-source document-length quantiles by EXPLICIT integer rank
+    (lower discrete quantile: rank = floor(p·(n−1))+1 over a
+    deterministic (n_chars, doc_id) order). Interpolating
+    percentile/quantile_cont computes (1−f)a+fb in doubles and the two
+    engines disagree in the last ulp, which flips floor/round at
+    half-integer boundaries — rank arithmetic is exact everywhere.
+    One window + one agg, both partitioned by source."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def pick(expr):
+        return F.max(F.when(F.col("rn") == expr, F.col("n_chars"))).cast("long")
+
+    n1 = F.col("n") - 1
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("docs"),
+        pick(F.floor(n1 / 2) + 1).alias("p50_chars"),
+        pick(F.floor(n1 * 9 / 10) + 1).alias("p90_chars"),
+        pick(F.floor(n1 * 99 / 100) + 1).alias("p99_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@q(
+    "table_profile",
+    """
+    select 'doc_id' as col, cast(count(*) as bigint) as n,
+           cast(count_if(doc_id is null) as bigint) as nulls,
+           cast(count(distinct doc_id) as bigint) as n_distinct
+    from documents
+    union all
+    select 'source', count(*), count_if(source is null),
+           count(distinct source) from documents
+    union all
+    select 'lang', count(*), count_if(lang is null),
+           count(distinct lang) from documents
+    union all
+    select 'n_chars', count(*), count_if(n_chars is null),
+           count(distinct n_chars) from documents
+    """,
+)
+def table_profile(spark, sf_dir):
+    """Column-profile operator (the EDA pass any ingestion runs first):
+    per-column row/null/exact-distinct counts as one unioned
+    aggregation. Exact countDistinct here because the oracle must
+    hash-match; the 100-TB variant swaps in approx_count_distinct
+    (HLL) with a documented error bound."""
+    d = t(spark, sf_dir, "documents")
+
+    def prof(col):
+        return d.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("long").alias("n"),
+            F.count_if(F.col(col).isNull()).cast("long").alias("nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+        )
+
+    out = prof("doc_id")
+    for c in ("source", "lang", "n_chars"):
+        out = out.unionByName(prof(c))
+    return out
