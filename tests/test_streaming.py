@@ -454,3 +454,47 @@ def test_assemble_stream_resumes_from_checkpoint(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     spans.unpersist()
+
+
+def test_dedup_transcripts_stream(spark, tmp_path):
+    """Streaming exact dedup: the same turns re-delivered in a later
+    micro-batch (a crawl retry) are dropped; output equals the batch
+    dropDuplicates, and extraction over the deduped stream equals
+    extraction over the deduped batch."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from xtract import gen
+
+    tr = gen.transcripts(spark, 5, partitions=2).cache()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_batch(df, i):
+        d = f"{src}/b{i}.d"
+        df.coalesce(1).write.parquet(d)
+        (f,) = globmod.glob(d + "/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+        shutil.rmtree(d)
+
+    add_batch(tr, 0)
+    add_batch(tr.filter(F.col("turn_idx") < 3), 1)  # retried deliveries
+
+    stream = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(
+        streaming.dedup_transcripts(stream), out, str(tmp_path / "ck")
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((r.conv_id, r.turn_idx) for r in tr.collect())
+    assert got == want  # every turn exactly once despite re-delivery
+    tr.unpersist()

@@ -322,6 +322,19 @@ def assemble_stream(spans: DataFrame) -> DataFrame:
     )
 
 
+def dedup_transcripts(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT dedup on the turn natural key — the guard
+    against retried crawl deliveries of the same turn. Uses
+    dropDuplicatesWithinWatermark, so key state is EVICTED once the
+    event-time watermark passes (plain dropDuplicates on a stream
+    accumulates key state forever — the unbounded-state footgun this
+    wrapper exists to avoid). Composes in front of stream_extract
+    unchanged."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 # ------------------------------------------------- unordered assembly
 # Reorder-buffer variant of assemble_stream for producers with BOUNDED
 # disorder (a span may arrive up to `lateness_turns` turns late —
