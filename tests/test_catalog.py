@@ -127,3 +127,19 @@ def test_dense_assembly_over_btable_is_shuffle_free(spark):
     got = assemble.merge_continuations(back).count()
     assert got == assemble.merge_continuations(spans).count() > 0
     spark.sql("drop table if exists bt_asm_test")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction: a 32-file micro-batch-shaped directory rewrites to
+    byte-sized file count with identical rows."""
+    from xtract import catalog, gen
+
+    path = str(tmp_path / "spans")
+    tr = gen.transcripts(spark, 8, partitions=32)
+    tr.write.parquet(path)
+    before = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(path).collect()}
+    stats = catalog.compact_parquet(spark, path, target_mb=256)
+    after = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny corpus fits one target file

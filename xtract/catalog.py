@@ -150,3 +150,42 @@ def write_ref(
 
 def count_ref(spark: SparkSession, ref: str) -> int:
     return read_ref(spark, ref).count()
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 256
+) -> dict:
+    """Small-file compaction for a parquet directory — the operational
+    counterpart of streaming/checkpointed ingestion, which naturally
+    leaves one file per micro-batch/partition task. Sizes the output
+    by actual bytes (ceil(total/target)), rewrites to a sibling temp
+    dir, then swaps. On Iceberg deployments the same maintenance is
+    `rewrite_data_files`; this is the parquet-path arm. Returns
+    {files_before, files_after, bytes}."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    bak = path.rstrip("/") + ".__old__"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path.rstrip("/"), bak)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(bak, ignore_errors=True)
+    after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }
