@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
         "large-star/small-star connected components)",
     )
     ap.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=None,
+        help="after writing, compact the span output directory to "
+        "files of ~this size (parquet paths only)",
+    )
+    ap.add_argument(
         "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
     )
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
@@ -128,6 +135,19 @@ def main(argv: list[str] | None = None) -> int:
         spans = pipeline.extract(df, mode=args.mode, merge=args.merge)
         catalog.write_ref(spans, args.output)
         result = {"partitions_done": None}
+
+    if args.compact_target_mb:
+        if catalog.is_table_ref(args.output) or catalog.is_btable_ref(args.output):
+            ap.error("--compact-target-mb applies to parquet outputs only")
+        if args.checkpoint:
+            ap.error(
+                "--compact-target-mb would flatten the bucket-partition "
+                "layout the checkpoint resume logic keys on; compact "
+                "after the run is fully complete instead"
+            )
+        result["compaction"] = catalog.compact_parquet(
+            spark, args.output, target_mb=args.compact_target_mb
+        )
 
     n_turns = df.count()
     n_spans = catalog.count_ref(spark, args.output)
