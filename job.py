@@ -97,6 +97,19 @@ def main(argv: list[str] | None = None) -> int:
 
     from xtract import catalog, gen, pipeline, session
 
+    # validate flag combinations BEFORE any expensive work
+    if args.compact_target_mb is not None:
+        if args.compact_target_mb <= 0:
+            ap.error("--compact-target-mb must be a positive size")
+        if catalog.is_table_ref(args.output) or catalog.is_btable_ref(args.output):
+            ap.error("--compact-target-mb applies to parquet outputs only")
+        if args.checkpoint:
+            ap.error(
+                "--compact-target-mb would flatten the bucket-partition "
+                "layout the checkpoint resume logic keys on; compact "
+                "after the run is fully complete instead"
+            )
+
     spark = session.build(app="xtract-job", shuffle_partitions=args.partitions)
     t0 = time.monotonic()
 
@@ -137,14 +150,6 @@ def main(argv: list[str] | None = None) -> int:
         result = {"partitions_done": None}
 
     if args.compact_target_mb:
-        if catalog.is_table_ref(args.output) or catalog.is_btable_ref(args.output):
-            ap.error("--compact-target-mb applies to parquet outputs only")
-        if args.checkpoint:
-            ap.error(
-                "--compact-target-mb would flatten the bucket-partition "
-                "layout the checkpoint resume logic keys on; compact "
-                "after the run is fully complete instead"
-            )
         result["compaction"] = catalog.compact_parquet(
             spark, args.output, target_mb=args.compact_target_mb
         )

@@ -143,3 +143,28 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert after == before
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] == 1  # tiny corpus fits one target file
+
+
+def test_compact_parquet_refuses_partitioned_and_recovers(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from xtract import catalog, gen
+
+    ppath = str(tmp_path / "part")
+    gen.transcripts(spark, 4).withColumn(
+        "pb", (F.col("turn_idx") % 2).cast("int")
+    ).write.partitionBy("pb").parquet(ppath)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        catalog.compact_parquet(spark, ppath, target_mb=64)
+
+    # crash-window recovery: data stranded at .__old__ is restored
+    flat = str(tmp_path / "flat")
+    gen.transcripts(spark, 4, partitions=8).write.parquet(flat)
+    n = spark.read.parquet(flat).count()
+    os.rename(flat, flat + ".__old__")  # simulate kill between renames
+    stats = catalog.compact_parquet(spark, flat, target_mb=64)
+    assert spark.read.parquet(flat).count() == n
+    assert stats["files_after"] >= 1

@@ -167,10 +167,28 @@ def compact_parquet(
     import os
     import shutil
 
+    if target_mb <= 0:
+        raise ValueError("target_mb must be positive")
+    path = path.rstrip("/")
+    bak = path + ".__old__"
+    # crash recovery: a previous compaction killed between the two
+    # renames left the data under .__old__ and nothing at `path`
+    if os.path.isdir(bak) and not os.path.isdir(path):
+        os.rename(bak, path)
+
+    # refuse hive-partitioned layouts: a flat rewrite would silently
+    # turn partition columns into data columns and kill pruning
+    for root, dirs, _ in os.walk(path):
+        if any("=" in d for d in dirs):
+            raise ValueError(
+                f"{path} is hive-partitioned ({root}); compact each "
+                "partition directory individually to preserve pruning"
+            )
+
     files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact__"
+    tmp = path + ".__compact__"
     shutil.rmtree(tmp, ignore_errors=True)
     (
         spark.read.parquet(path)
@@ -178,10 +196,9 @@ def compact_parquet(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    bak = path.rstrip("/") + ".__old__"
     shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path.rstrip("/"), bak)
-    os.rename(tmp, path.rstrip("/"))
+    os.rename(path, bak)
+    os.rename(tmp, path)  # crash before this line → recovered on next call
     shutil.rmtree(bak, ignore_errors=True)
     after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     return {

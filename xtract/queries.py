@@ -2032,9 +2032,11 @@ def skew_salted_stats(spark, sf_dir):
     "asof_view_before_purchase",
     """
     with v as (
-      -- deterministic tie-break: one view per (user, ts), max event_id
+      -- deterministic tie-break: one view per (user, ts), max event_id;
+      -- ts is not null: Spark's NULLS FIRST window ordering would treat
+      -- a null-ts view as earliest while ASOF's <= never matches null
       select user_id, ts, max(event_id) as view_id
-      from events where event_type = 'view'
+      from events where event_type = 'view' and ts is not null
       group by user_id, ts
     ),
     p as (
@@ -2061,7 +2063,7 @@ def asof_view_before_purchase(spark, sf_dir):
     (inclusive as-of), max event_id wins among equal-ts views."""
     e = t(spark, sf_dir, "events")
     views = (
-        e.filter(F.col("event_type") == "view")
+        e.filter((F.col("event_type") == "view") & F.col("ts").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("view_id"))
         .select(
@@ -2171,8 +2173,6 @@ def tfidf_top_terms(spark, sf_dir):
     inverted-index one: explode → (doc, term) counts → term df agg →
     equi-join back → per-doc top-k window. All shuffles carry token
     aggregates, never raw text."""
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -2182,14 +2182,22 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.floor(F.col("tf") * F.lit(1000000) * F.lit(n) / F.col("df"))
-        .cast("long")
-        .alias("score_scaled"),
+    # lazy 1-row N (broadcast cross join) — an eager d.count() here
+    # would cost a full extra table pass at plan-construction time
+    n_df = F.broadcast(d.agg(F.count("*").cast("long").alias("n_docs")))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(n_df)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            # integer `div`, matching the oracle's `//` exactly — a
+            # double `/` + floor diverges once tf*1e6*N ≥ 2^53
+            F.expr("(tf * 1000000L * n_docs) div df")
+            .cast("long")
+            .alias("score_scaled"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_scaled"), F.asc("term")
@@ -2332,9 +2340,10 @@ def _pii_sql() -> str:
              as urls,
            cast(len(regexp_extract_all(text, '{_PII_PHONE}')) as bigint)
              as phones,
-           cast(length(regexp_replace(
+           cast(length(regexp_replace(regexp_replace(
                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                  '{_PII_URL}', '<URL>', 'g')) as bigint) as scrubbed_len
+                  '{_PII_URL}', '<URL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g')) as bigint) as scrubbed_len
     from documents
     """
 
@@ -2355,9 +2364,13 @@ def pii_scrub_stats(spark, sf_dir):
         F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("phones"),
         F.length(
             F.regexp_replace(
-                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
-                _PII_URL,
-                "<URL>",
+                F.regexp_replace(
+                    F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                    _PII_URL,
+                    "<URL>",
+                ),
+                _PII_PHONE,
+                "<PHONE>",
             )
         )
         .cast("long")
@@ -2400,8 +2413,6 @@ def length_quantiles(spark, sf_dir):
     engines disagree in the last ulp, which flips floor/round at
     half-integer boundaries — rank arithmetic is exact everywhere.
     One window + one agg, both partitioned by source."""
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     r = d.select(
