@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "minhash128_pairs",
     "minhash128_full_pairs",
     "dedup_components",
+    "dedup_incremental",
     "skew_salted_stats",
     "ann_lsh_top5",
     "ann_ivf_top5",

@@ -2473,3 +2473,78 @@ def table_profile(spark, sf_dir):
     for c in ("source", "lang", "n_chars"):
         out = out.unionByName(prof(c))
     return out
+
+
+# =====================================================================
+# Incremental dedup — new batch vs EXISTING corpus (the "don't
+# re-ingest what the corpus already contains" step; at 100 TB the
+# reference side is the standing corpus's band-bucket index, which is
+# an incremental artifact, not a recompute)
+# =====================================================================
+def _dedup_incr_sql() -> str:
+    from . import minhash as mh
+
+    return _minhash128_cte(cap=mh.CAP) + """
+    , ref as (select * from kept where doc_id % 2 = 0),
+    new as (select * from kept where doc_id % 2 = 1),
+    hits as (
+      select distinct new.doc_id
+      from new join ref on new.band = ref.band and new.bkey = ref.bkey
+    )
+    select d.source,
+           cast(count(*) as bigint) as new_docs,
+           cast(count(h.doc_id) as bigint) as near_dup_of_corpus,
+           cast(count(*) - count(h.doc_id) as bigint) as admitted
+    from documents d left join hits h using (doc_id)
+    where d.doc_id % 2 = 1
+    group by d.source
+    """
+
+
+@q("dedup_incremental", _dedup_incr_sql())
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup gate: an arriving batch (odd doc_ids) is
+    checked against the STANDING corpus (even doc_ids) by MinHash band
+    buckets — new docs sharing any bucket with a corpus doc are
+    rejected, the rest admitted. The join is new-side bands against
+    the corpus bucket index (broadcast-able when the daily batch is
+    small, shuffle-bounded by band rows otherwise) — never new×corpus
+    pairs. The same banding CTE as minhash128_pairs, so the oracle
+    agrees with the candidate graph by construction."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bands = mh.band_keys(mh.signatures(d.select("doc_id", "text")))
+    # bucket cap as in candidate_pairs (shared keep-CTE semantics)
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "_sz", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
+        .filter(F.col("_sz") <= 50)
+        .drop("_sz")
+    )
+    ref = bands.filter(F.col("doc_id") % 2 == 0).select(
+        "band", F.col("bkey").alias("bkey_r")
+    ).distinct()
+    new = bands.filter(F.col("doc_id") % 2 == 1)
+    hits = (
+        new.join(
+            ref,
+            (new["band"] == ref["band"]) & (new["bkey"] == ref["bkey_r"]),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    newdocs = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        newdocs.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("new_docs"),
+            F.count("hit").cast("long").alias("near_dup_of_corpus"),
+            (F.count("*") - F.count("hit")).cast("long").alias("admitted"),
+        )
+    )
