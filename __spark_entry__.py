@@ -313,6 +313,74 @@ def _extraction_queries() -> dict[str, Callable]:
         )
         return finals.unionByName(open_tails)
 
+    def x_assemble_unordered(spark, sf_dir):
+        """The bounded-disorder reorder-buffer assembly
+        (assemble_stream_unordered) on the driver's hash gate: spans
+        are re-delivered across SIX micro-batches in deterministically
+        jittered order (arrival key = turn + hash-jitter ≤ L, batched
+        by contiguous key ranges — any akey-ordered split respects the
+        bound: a frontier-advancing span of turn t+L+1 has akey
+        strictly above every turn-t span's), reconstructed with the
+        epoch consumer rule, and compared to the DENSE batch algorithm
+        in DuckDB. Exercises multi-batch GroupState with out-of-order
+        arrival end-to-end."""
+        import glob as globmod
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        from xtract import mat, streaming
+
+        L = 6
+        spans = _spans_mat(spark, sf_dir)
+        base = mat.path(sf_dir, "asm_unordered_run")
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        akey = F.col("turn_idx") + F.pmod(
+            F.xxhash64("conv_id", "turn_idx", "seq"), F.lit(L + 1)
+        )
+        keyed = spans.select(
+            "conv_id", "turn_idx", "seq", "question_number", "span_text", "bbox",
+            akey.alias("akey"),
+        ).withColumn(
+            "batch",
+            F.ntile(6).over(Window.orderBy("akey", "conv_id", "turn_idx", "seq")),
+        )
+        for i in range(1, 7):
+            d = f"{src}/b{i}.d"
+            keyed.filter(F.col("batch") == i).drop("akey", "batch").coalesce(
+                1
+            ).write.parquet(d)
+            (f,) = globmod.glob(d + "/part-*.parquet")
+            dst = f"{src}/batch{i:02d}.parquet"
+            shutil.move(f, dst)
+            os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+            shutil.rmtree(d)
+
+        sschema = (
+            "conv_id string, turn_idx int, seq int, question_number int, "
+            "span_text string, bbox array<int>"
+        )
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming.run_to_parquet(
+            streaming.assemble_stream_unordered(stream, lateness_turns=L),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        rec = streaming.reconstruct_unordered(
+            spark.read.parquet(os.path.join(base, "out"))
+        )
+        return rec.select(
+            "conv_id", "head_turn", "head_seq", "turn_first", "turn_last",
+            "question_number", "span_text", "n_parts",
+        )
+
     def x_dup_spans(spark, sf_dir):
         """Near-duplicate question pairs over the engine's own
         extracted spans (winnowing fingerprints; fingerprint.dup_spans,
@@ -389,6 +457,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_assemble": x_assemble,
         "x_assemble_sparse": x_assemble_sparse,
         "x_assemble_stream": x_assemble_stream,
+        "x_assemble_unordered": x_assemble_unordered,
         "x_dup_spans": x_dup_spans,
         "x_rank1_divergence": x_rank1_divergence,
     }
@@ -568,10 +637,18 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,"""
         + asm_agg
         + "\n        ",
-        # the streaming operator must reproduce the dense BATCH
+        # the streaming operators must reproduce the dense BATCH
         # algorithm's segments exactly (same restatement as the sparse
-        # row — here it cross-checks a third, stateful-streaming plan)
+        # row — these cross-check the stateful-streaming plans, ordered
+        # and reorder-buffer)
         "x_assemble_stream": asm_cte()
+        + """
+            select conv_id,
+                   cast(min(turn_idx) as int) as head_turn,
+                   cast(first(seq order by turn_idx, phys, seq) as int) as head_seq,"""
+        + asm_agg
+        + "\n        ",
+        "x_assemble_unordered": asm_cte()
         + """
             select conv_id,
                    cast(min(turn_idx) as int) as head_turn,
