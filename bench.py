@@ -27,6 +27,7 @@ GEN_TAG = "r2"
 
 BENCH_QUERIES = [
     "a1_pricing_summary",
+    "rollup_counts",
     "w3_lead_gaps",
     "w6_sessionize",
     "j1_time_band_join",

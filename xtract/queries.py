@@ -2548,3 +2548,75 @@ def dedup_incremental(spark, sf_dir):
             (F.count("*") - F.count("hit")).cast("long").alias("admitted"),
         )
     )
+
+
+# =====================================================================
+# Grouping-set / pivot surface (SQL-analytics completeness)
+# =====================================================================
+@q(
+    "rollup_counts",
+    """
+    select coalesce(source, '(all)') as source,
+           coalesce(lang, '(all)') as lang,
+           cast(grouping(source) * 2 + grouping(lang) as bigint) as gid,
+           cast(count(*) as bigint) as docs,
+           cast(sum(n_chars) as bigint) as chars
+    from documents
+    group by rollup(source, lang)
+    """,
+)
+def rollup_counts(spark, sf_dir):
+    """ROLLUP grouping sets: per-(source, lang) counts with per-source
+    subtotals and a grand total in ONE aggregation pass (Spark expands
+    grouping sets inside a single shuffle — three separate groupBys
+    would scan the table three times). grouping() bits disambiguate a
+    literal '(all)' value from the subtotal rows."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "gid",
+            "docs",
+            "chars",
+        )
+    )
+
+
+@q(
+    "pivot_lang_counts",
+    """
+    select source,
+           cast(count_if(lang = 'en') as bigint) as en,
+           cast(count_if(lang = 'zh') as bigint) as zh,
+           cast(count_if(lang = 'fr') as bigint) as fr,
+           cast(count_if(lang = 'de') as bigint) as de,
+           cast(count_if(lang = 'es') as bigint) as es
+    from documents group by source
+    """,
+)
+def pivot_lang_counts(spark, sf_dir):
+    """PIVOT: language distribution per source as columns. The Spark
+    side uses the native pivot operator WITH the value list supplied —
+    omitting it costs an extra distinct-collecting job before the real
+    aggregation (the classic pivot footgun at scale). The oracle is
+    the equivalent conditional aggregation."""
+    d = t(spark, sf_dir, "documents")
+    langs = ["en", "zh", "fr", "de", "es"]
+    out = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang) for lang in langs],
+    )
