@@ -29,8 +29,9 @@ def main(argv: list[str] | None = None) -> int:
         help=(
             "transcripts parquet path, table:<catalog.db.name> for an "
             "Iceberg/catalog table, gen:<n_convs> for synthetic input, "
-            "pdf:<dir> for a directory of PDF pages, or html:<dir> for "
-            "a directory of HTML pages (boilerplate-stripped first)"
+            "pdf:<dir> for a directory of PDF pages, html:<dir> for "
+            "a directory of HTML pages (boilerplate-stripped first), "
+            "or ocrjson:<glob> for layout-parser JSON result envelopes"
         ),
     )
     ap.add_argument(
@@ -69,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
         help="dense = per-conversation segment ordinals (one conv_id "
         "shuffle of all spans); sparse = boundary-only plan keyed by "
         "head-span identity (the span table never shuffles)",
+    )
+    ap.add_argument(
+        "--groups",
+        default=None,
+        help="optional sink for v2-analyzer semantic groups "
+        "(doc_title/header/aside/question/unknown with merged bbox+text)",
     )
     ap.add_argument(
         "--dup-pairs",
@@ -123,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import html
 
         df = html.read_html(spark, args.input[5:])
+    elif args.input.startswith("ocrjson:"):
+        from xtract import ingest
+
+        df = ingest.read_envelopes(spark, args.input[8:])
     else:
         df = catalog.read_ref(spark, args.input)
 
@@ -159,6 +170,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.exam_info:
         catalog.write_ref(pipeline.exam_info(df), args.exam_info)
+    if args.groups:
+        import pyspark.sql.functions as F
+
+        g = pipeline.analyze(df, mode="fused").withColumn(
+            "block_ids_csv",
+            F.array_join(F.transform("block_ids", lambda b: b.cast("string")), ","),
+        ).drop("block_ids")
+        catalog.write_ref(g, args.groups)
     if args.stats:
         catalog.write_ref(
             pipeline.conversation_stats(catalog.read_ref(spark, args.output)),
