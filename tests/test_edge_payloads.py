@@ -128,3 +128,48 @@ def test_specific_edge_semantics(payloads):
     # orphan lines resolve to no block → estimate path still splits
     rows = oracle.extract_turn(payloads["orphan_lines"])
     assert [r["question_number"] for r in rows] == [1, 2]
+
+
+def test_megabyte_turn_bounded_batches(spark):
+    """A 1 MB single-turn payload flows through the fused kernel
+    without pathology: the Arrow byte cap (64 MB, session.py) bounds
+    per-batch memory regardless of row width, and extraction semantics
+    are unaffected by payload size (content drawn from a real payload
+    with one question's content inflated)."""
+    import json
+
+    import pandas as pd
+
+    from xtract import gen, pipeline, schema
+
+    payload = json.loads(gen._payload_b(gen._rng("mega", 1)))
+    big = "长文本" * 120_000  # ~1 MB of content on one block
+    for b in payload["blocks"]:
+        if b["block_label"] == "text":
+            b["block_content"] = b["block_content"] + big
+            break
+    text = json.dumps(payload, ensure_ascii=False)
+    assert len(text.encode()) > 1_000_000
+
+    rows = [
+        {
+            "conv_id": "mega",
+            "turn_idx": i,
+            "role": "tool",
+            "text": text,
+            "tool": "layout",
+            "ts": None,
+        }
+        for i in range(8)
+    ]
+    tr = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in schema.TRANSCRIPTS.fields]),
+        schema=schema.TRANSCRIPTS,
+    )
+    spans = pipeline.extract(tr, mode="fused")
+    got = spans.groupBy("turn_idx").count().collect()
+    assert len(got) == 8 and all(r["count"] >= 1 for r in got)
+    # the inflated block's span carries the appended text (~360k
+    # chars ≈ 1 MB utf-8)
+    sample = spans.filter("turn_idx = 0").select("span_text").collect()
+    assert any(len(r.span_text or "") > 300_000 for r in sample)

@@ -19,6 +19,11 @@ def build(
         SparkSession.builder.appName(app)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # byte cap matters more than the record cap for transcript
+        # payloads: a 10k-record batch of 1 MB turns would be 10 GB
+        # without it — 64 MB bounds per-batch worker memory regardless
+        # of row width
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
