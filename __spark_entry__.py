@@ -146,23 +146,8 @@ def _extraction_queries() -> dict[str, Callable]:
     def x_exam_info(spark, sf_dir):
         return structure.exam_info_flat(_blocks_mat(spark, sf_dir))
 
-    def _groups_proj(g):
-        """Array columns (block_ids, merged_bbox) projected to sortable
-        scalars — the driver canonicalizer lexsorts cell values in
-        pandas and cannot hash python lists."""
-        return g.select(
-            "conv_id",
-            "turn_idx",
-            "group_seq",
-            "gtype",
-            F.array_join(F.transform("block_ids", lambda b: b.cast("string")), ",")
-            .alias("block_ids_csv"),
-            F.try_element_at("merged_bbox", F.lit(1)).alias("bx1"),
-            F.try_element_at("merged_bbox", F.lit(2)).alias("by1"),
-            F.try_element_at("merged_bbox", F.lit(3)).alias("bx2"),
-            F.try_element_at("merged_bbox", F.lit(4)).alias("by2"),
-            "merged_text",
-        )
+    # the one groups serialization rule (shared with job.py --groups)
+    _groups_proj = pipeline.flatten_groups
 
     def x_analyze_groups(spark, sf_dir):
         """v2-analyzer groups as a CROSS-PLAN row (the pattern
@@ -347,7 +332,8 @@ def _extraction_queries() -> dict[str, Callable]:
         ).withColumn(
             "batch",
             F.ntile(6).over(Window.orderBy("akey", "conv_id", "turn_idx", "seq")),
-        )
+        ).persist()  # 6 filtered writes below — sort the span table once
+        keyed.count()
         for i in range(1, 7):
             d = f"{src}/b{i}.d"
             keyed.filter(F.col("batch") == i).drop("akey", "batch").coalesce(
@@ -359,6 +345,7 @@ def _extraction_queries() -> dict[str, Callable]:
             os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
             shutil.rmtree(d)
 
+        keyed.unpersist()
         sschema = (
             "conv_id string, turn_idx int, seq int, question_number int, "
             "span_text string, bbox array<int>"

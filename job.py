@@ -171,13 +171,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.exam_info:
         catalog.write_ref(pipeline.exam_info(df), args.exam_info)
     if args.groups:
-        import pyspark.sql.functions as F
-
-        g = pipeline.analyze(df, mode="fused").withColumn(
-            "block_ids_csv",
-            F.array_join(F.transform("block_ids", lambda b: b.cast("string")), ","),
-        ).drop("block_ids")
-        catalog.write_ref(g, args.groups)
+        catalog.write_ref(
+            pipeline.flatten_groups(pipeline.analyze(df, mode="fused")),
+            args.groups,
+        )
     if args.stats:
         catalog.write_ref(
             pipeline.conversation_stats(catalog.read_ref(spark, args.output)),

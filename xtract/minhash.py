@@ -171,6 +171,33 @@ def signatures(
     ).mapInPandas(kernel, schema=SIG_SCHEMA)
 
 
+MAX_BUCKET = 50  # default band-bucket skew cap (shared: candidate_pairs,
+# dedup_incremental, and the DuckDB keep-CTE in queries._minhash128_cte)
+
+
+def capped_band_keys(
+    docs: DataFrame, max_bucket: int | None = MAX_BUCKET, cap: int | None = CAP
+) -> DataFrame:
+    """band_keys(signatures(docs)) with the bucket-size skew cap
+    applied — the single implementation of the keep rule both the
+    pair generator and the incremental gate build on."""
+    from pyspark.sql import Window
+
+    bk = band_keys(signatures(docs, cap=cap))
+    if max_bucket is not None:
+        # bucket cap via a window (rows per (band,bkey) ARE the bucket
+        # size) — avoids re-running the signature kernel for a
+        # separate keep-side aggregation
+        bk = (
+            bk.withColumn(
+                "_sz", F.count("*").over(Window.partitionBy("band", "bkey"))
+            )
+            .filter(F.col("_sz") <= max_bucket)
+            .drop("_sz")
+        )
+    return bk
+
+
 def band_keys(sigs: DataFrame) -> DataFrame:
     """(doc_id, sig) → one row per band: (doc_id, band, bkey) with
     bkey = md5 of the band's ROWS signature values (comma-joined) —
@@ -198,27 +225,14 @@ def band_keys(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    docs: DataFrame, max_bucket: int | None = 50, cap: int | None = CAP
+    docs: DataFrame, max_bucket: int | None = MAX_BUCKET, cap: int | None = CAP
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 LSH band bucket.
     (doc_a, doc_b, n_bands). ``max_bucket`` drops degenerate buckets
     (boilerplate-identical bands across > max_bucket docs) before the
     self-join — the skew guard, same role as shared_pairs' max_df.
     ``cap=None`` hashes whole documents (chunked kernel)."""
-    from pyspark.sql import Window
-
-    bk = band_keys(signatures(docs, cap=cap))
-    if max_bucket is not None:
-        # bucket cap via a window (rows per (band,bkey) ARE the bucket
-        # size) — avoids re-running the signature kernel for a
-        # separate keep-side aggregation
-        bk = (
-            bk.withColumn(
-                "_sz", F.count("*").over(Window.partitionBy("band", "bkey"))
-            )
-            .filter(F.col("_sz") <= max_bucket)
-            .drop("_sz")
-        )
+    bk = capped_band_keys(docs, max_bucket=max_bucket, cap=cap)
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(

@@ -108,6 +108,28 @@ def conversation_stats(final_spans: DataFrame) -> DataFrame:
     )
 
 
+def flatten_groups(groups: DataFrame) -> DataFrame:
+    """Analyzer groups with array columns projected to sortable
+    scalars (block_ids → csv, merged_bbox → 4 int columns) — the one
+    serialization rule shared by the driver-contract row and the
+    job.py --groups sink (driver canonicalization cannot hash python
+    lists)."""
+    return groups.select(
+        "conv_id",
+        "turn_idx",
+        "group_seq",
+        "gtype",
+        F.array_join(F.col("block_ids").cast("array<string>"), ",").alias(
+            "block_ids_csv"
+        ),
+        F.try_element_at("merged_bbox", F.lit(1)).alias("bx1"),
+        F.try_element_at("merged_bbox", F.lit(2)).alias("by1"),
+        F.try_element_at("merged_bbox", F.lit(3)).alias("bx2"),
+        F.try_element_at("merged_bbox", F.lit(4)).alias("by2"),
+        "merged_text",
+    )
+
+
 def analyze(transcripts: DataFrame, mode: str = "fused") -> DataFrame:
     """v2-analyzer groups output (groups.GROUP_COLS): fused single
     kernel, or the relational plan in groups.py."""

@@ -1572,7 +1572,8 @@ def _minhash128_cte(cap: int | None = None) -> str:
       from sig group by doc_id, i // {mh.ROWS}
     ),
     keep as (
-      select band, bkey from bands group by band, bkey having count(*) <= 50
+      select band, bkey from bands group by band, bkey
+      having count(*) <= {mh.MAX_BUCKET}
     ),
     kept as (select b.* from bands b join keep using (band, bkey))"""
 
@@ -2514,17 +2515,8 @@ def dedup_incremental(spark, sf_dir):
     from . import minhash as mh
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    bands = mh.band_keys(mh.signatures(d.select("doc_id", "text")))
-    # bucket cap as in candidate_pairs (shared keep-CTE semantics)
-    from pyspark.sql import Window
-
-    bands = (
-        bands.withColumn(
-            "_sz", F.count("*").over(Window.partitionBy("band", "bkey"))
-        )
-        .filter(F.col("_sz") <= 50)
-        .drop("_sz")
-    )
+    # the ONE capped-bucket implementation candidate_pairs also uses
+    bands = mh.capped_band_keys(d.select("doc_id", "text"))
     ref = bands.filter(F.col("doc_id") % 2 == 0).select(
         "band", F.col("bkey").alias("bkey_r")
     ).distinct()
