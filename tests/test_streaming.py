@@ -304,10 +304,12 @@ def test_assemble_stream_unordered_bounded_jitter_parity(spark, tmp_path):
     ).cache()
     pdf = spans.toPandas()
     # deterministic jitter up to and INCLUDING L (the documented
-    # inclusive bound); tie-break keeps intra-turn (seq) order shuffled
-    # too (hash on seq)
+    # inclusive bound) — crc32, NOT python hash(): the salted str hash
+    # changes per interpreter, making failures unreproducible
+    import zlib
+
     pdf["jit"] = [
-        (hash((c, t, s)) % (L + 1))
+        zlib.crc32(f"{c}:{t}:{s}".encode()) % (L + 1)
         for c, t, s in zip(pdf.conv_id, pdf.turn_idx, pdf.seq)
     ]
     pdf["akey"] = pdf.turn_idx + pdf.jit

@@ -330,17 +330,21 @@ def main() -> None:
             "As-of join (union + ordered window — no join operator)",
             p,
             [
-                "Nearest-earlier matching compiles to ONE hash exchange on "
-                "user_id and a single Window: each event row shuffles exactly "
-                "once, and no join operator (with its per-key fan-out risk) "
+                "Nearest-earlier matching compiles to a single Window over "
+                "one user_id exchange (plus the view-dedup aggregation's own "
+                "exchange): each event row shuffles a bounded number of "
+                "times, and no join operator (with its per-key fan-out risk) "
                 "appears anywhere in the plan.",
             ],
         )
     )
+    n_win = len(
+        [ln for ln in p.splitlines() if ln.strip().startswith("(") and ") Window" in ln]
+    )
     checks.append(
         (
-            "asof plan is join-free with a single Window over one exchange",
-            "Join" not in p and "Window" in p,
+            "asof plan: join-free, one Window, two exchanges (dedup agg + window)",
+            "Join" not in p and p.count("hashpartitioning(") == 2 and n_win == 1,
         )
     )
 

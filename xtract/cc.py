@@ -147,7 +147,12 @@ def connected_components(
     # child side.
     labels = cur.select(F.col("a").alias("node"), F.col("b").alias("rep"))
     roots = labels.select(F.col("rep").alias("node"), F.col("rep")).distinct()
-    return labels.union(roots).distinct(), rounds
+    out = labels.union(roots).distinct().localCheckpoint(eager=True)
+    # release the final EDGE generation too — only the (much smaller)
+    # per-node label set stays persisted for the caller's lazy reads,
+    # honoring the bounded-storage contract across repeated calls
+    _unpersist_ids(sc, prev_added)
+    return out, rounds
 
 
 def components_summary(edges: DataFrame) -> DataFrame:

@@ -2082,10 +2082,14 @@ def asof_view_before_purchase(spark, sf_dir):
         .orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = views.unionByName(purchases).withColumn(
-        "lv", F.last("view_id", ignorenulls=True).over(w)
-    ).withColumn(
-        "lts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    # both running-last expressions in ONE select → a single Window
+    # operator (chained withColumn would compile two)
+    tagged = views.unionByName(purchases).select(
+        "*",
+        F.last("view_id", ignorenulls=True).over(w).alias("lv"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lts"),
     )
     return tagged.filter(F.col("side") == 1).select(
         "purchase_id",
@@ -2308,19 +2312,19 @@ def rep_ratios(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
     )
+    # integer `div` everywhere — the same exactness rule tfidf follows
+    # (double '/' + floor can diverge from DuckDB's '//' at 2^53)
     return la.join(bga, "doc_id", "left").select(
         "doc_id",
         F.col("n_lines").cast("long"),
-        F.floor(F.col("dup_lines") * 1000000 / F.col("n_lines"))
+        F.expr("(dup_lines * 1000000L) div n_lines")
         .cast("long")
         .alias("dup_line_ppm"),
-        F.floor(
-            F.col("dup_chars") * 1000000 / F.greatest(F.col("all_chars"), F.lit(1))
-        )
+        F.expr("(dup_chars * 1000000L) div greatest(all_chars, 1L)")
         .cast("long")
         .alias("dup_char_ppm"),
         F.coalesce(
-            F.floor(F.col("top_c") * 1000000 / F.col("n_bigrams")), F.lit(0)
+            F.expr("(top_c * 1000000L) div n_bigrams"), F.lit(0)
         )
         .cast("long")
         .alias("top_bigram_ppm"),
@@ -2423,15 +2427,18 @@ def length_quantiles(spark, sf_dir):
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
 
-    def pick(expr):
-        return F.max(F.when(F.col("rn") == expr, F.col("n_chars"))).cast("long")
+    def pick(rank_sql):
+        # integer `div` rank arithmetic — same exactness rule as the
+        # oracle's '//' (double '/' + floor can diverge at 2^53)
+        return F.max(
+            F.when(F.col("rn") == F.expr(rank_sql), F.col("n_chars"))
+        ).cast("long")
 
-    n1 = F.col("n") - 1
     return r.groupBy("source").agg(
         F.max("n").cast("long").alias("docs"),
-        pick(F.floor(n1 / 2) + 1).alias("p50_chars"),
-        pick(F.floor(n1 * 9 / 10) + 1).alias("p90_chars"),
-        pick(F.floor(n1 * 99 / 100) + 1).alias("p99_chars"),
+        pick("((n - 1) div 2) + 1").alias("p50_chars"),
+        pick("((n - 1) * 9 div 10) + 1").alias("p90_chars"),
+        pick("((n - 1) * 99 div 100) + 1").alias("p99_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
 

@@ -151,7 +151,13 @@ _ASM_STATE = T.StructType(
         T.StructField("last_text", T.StringType(), True),
         # last CONSUMED span position (turn_last, last_phys, last_seq):
         # the arrival-order contract is enforced against it, not just
-        # documented — see the guard in _asm_fn
+        # documented — see the guard in _asm_fn.
+        # STATE-SCHEMA COMPATIBILITY: adding fields here is a BREAKING
+        # change for live checkpoints — Spark's state store rejects a
+        # widened schema on restart, and the only recovery is a fresh
+        # checkpoint dir (open tails are then re-derived by replaying
+        # the source from the new checkpoint's start). Version such
+        # changes with a deployment note; never hot-swap them.
         T.StructField("last_phys", T.IntegerType(), False),
         T.StructField("last_seq", T.IntegerType(), False),
     ]
