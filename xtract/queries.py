@@ -2619,3 +2619,38 @@ def pivot_lang_counts(spark, sf_dir):
         "source",
         *[F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang) for lang in langs],
     )
+
+
+@q(
+    "sample_per_source",
+    """
+    with r as (
+      select doc_id, source,
+             row_number() over (
+               partition by source
+               order by md5(cast(doc_id as varchar) || ':' || source), doc_id
+             ) as rk
+      from documents
+    )
+    select doc_id, source, cast(rk as int) as rk
+    from r where rk <= 5
+    """,
+)
+def sample_per_source(spark, sf_dir):
+    """Deterministic balanced subsampling: exactly 5 docs per source,
+    chosen by ranking on a content-independent md5 of (doc_id, source)
+    — reproducible across runs, engines and partitionings (a rand()
+    sample is none of those), and uniform because the hash is
+    effectively a random permutation per group. The per-group top-k
+    window is the same shape as w5; at 100 TB the rank threshold
+    turns into the per-group quota of the sampling design."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", F.col("rk").cast("int"))
+    )
