@@ -2654,3 +2654,77 @@ def sample_per_source(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("doc_id", "source", F.col("rk").cast("int"))
     )
+
+
+@q(
+    "funnel_steps",
+    """
+    with m as (
+      select user_id,
+             min(case when event_type = 'signup' then ts end) as t_signup,
+             min(case when event_type = 'view' then ts end) as t_view,
+             min(case when event_type = 'purchase' then ts end) as t_purchase
+      from events group by user_id
+    )
+    select cast(count(*) as bigint) as users,
+           cast(count_if(t_signup is not null) as bigint) as did_signup,
+           cast(count_if(t_signup is not null and t_view > t_signup)
+                as bigint) as then_viewed,
+           cast(count_if(t_signup is not null and t_view > t_signup
+                         and t_purchase > t_view) as bigint) as then_purchased
+    from m
+    """,
+)
+def funnel_steps(spark, sf_dir):
+    """Ordered-event funnel (signup → view → purchase): one conditional
+    min-timestamp aggregation per user then step comparisons — a
+    single groupBy pass regardless of funnel depth (the self-join
+    formulation explodes per step; the conditional-min form is the
+    scale shape). Null-safe: a '>' against a missing step is null →
+    count_if false, exactly matching DuckDB."""
+    e = t(spark, sf_dir, "events")
+
+    def first_ts(ev):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    m = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    sign = F.col("t_signup").isNotNull()
+    viewed = sign & (F.col("t_view") > F.col("t_signup"))
+    purchased = viewed & (F.col("t_purchase") > F.col("t_view"))
+    return m.agg(
+        F.count("*").cast("long").alias("users"),
+        F.count_if(sign).cast("long").alias("did_signup"),
+        F.count_if(viewed).cast("long").alias("then_viewed"),
+        F.count_if(purchased).cast("long").alias("then_purchased"),
+    )
+
+
+@q(
+    "props_json_stats",
+    """
+    select event_type,
+           cast(count(*) as bigint) as events,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) as sum_k,
+           cast(max(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) as max_k
+    from events group by event_type
+    """,
+)
+def props_json_stats(spark, sf_dir):
+    """Semi-structured column handling on the driver tables: the
+    events.props JSON string is parsed with get_json_object (no
+    schema declaration needed for ad-hoc fields; the full from_json
+    schema-on-read arm is the payload parse in sources.py) and
+    aggregated natively."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
