@@ -2728,3 +2728,45 @@ def props_json_stats(spark, sf_dir):
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+@q(
+    "hopping_30m",
+    """
+    with e as (
+      -- bigint BEFORE the floor-div: DuckDB's // on a DOUBLE operand
+      -- degenerates to plain division and the alignment vanishes
+      select event_type, cast(floor(epoch(ts)) as bigint) as es from events
+    ),
+    w as (
+      -- an event lands in the two 1h windows that contain it when
+      -- sliding by 30m: starts at floor-to-30m and that minus 30m
+      select event_type, es,
+             unnest([es // 1800 * 1800, es // 1800 * 1800 - 1800]) as ws
+      from e
+    )
+    select cast(ws as bigint) as win_start, event_type,
+           cast(count(*) as bigint) as events
+    from w where es >= ws and es < ws + 3600
+    group by ws, event_type
+    """,
+)
+def hopping_30m(spark, sf_dir):
+    """HOPPING (sliding) window aggregation: 1-hour windows every 30
+    minutes — each event contributes to two windows (the overlap is
+    what a tumbling window cannot express; Spark's window() handles
+    the fan-out natively and the same plan runs under readStream with
+    a watermark). DuckDB restates the window membership arithmetic
+    explicitly."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("events"))
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("win_start"),
+            "event_type",
+            "events",
+        )
+    )
