@@ -2770,3 +2770,34 @@ def hopping_30m(spark, sf_dir):
             "events",
         )
     )
+
+
+@q(
+    "length_rank_stats",
+    """
+    select doc_id, source,
+           cast(floor(1000000 * percent_rank() over w) as bigint)
+             as pr_ppm,
+           cast(floor(1000000 * cume_dist() over w) as bigint)
+             as cd_ppm
+    from documents
+    window w as (partition by source order by n_chars, doc_id)
+    """,
+)
+def length_rank_stats(spark, sf_dir):
+    """percent_rank + cume_dist per source over a deterministic
+    (n_chars, doc_id) order. Cross-engine exactness note: both are
+    single IEEE divisions of the same small integers — one identical
+    double op in each engine — so floor(1e6·x) agrees bit-for-bit
+    (unlike interpolated quantiles, which chain multiplications and
+    diverge in the last ulp)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cd_ppm"),
+    )
