@@ -2451,14 +2451,17 @@ def length_quantiles(spark, sf_dir):
            cast(count(distinct doc_id) as bigint) as n_distinct
     from documents
     union all
-    select 'source', count(*), count_if(source is null),
-           count(distinct source) from documents
+    select 'source', cast(count(*) as bigint),
+           cast(count_if(source is null) as bigint),
+           cast(count(distinct source) as bigint) from documents
     union all
-    select 'lang', count(*), count_if(lang is null),
-           count(distinct lang) from documents
+    select 'lang', cast(count(*) as bigint),
+           cast(count_if(lang is null) as bigint),
+           cast(count(distinct lang) as bigint) from documents
     union all
-    select 'n_chars', count(*), count_if(n_chars is null),
-           count(distinct n_chars) from documents
+    select 'n_chars', cast(count(*) as bigint),
+           cast(count_if(n_chars is null) as bigint),
+           cast(count(distinct n_chars) as bigint) from documents
     """,
 )
 def table_profile(spark, sf_dir):
