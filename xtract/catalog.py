@@ -170,11 +170,24 @@ def compact_parquet(
     if target_mb <= 0:
         raise ValueError("target_mb must be positive")
     path = path.rstrip("/")
+    # local-filesystem implementation (os.walk/glob/rename below): a
+    # URI path (s3://, hdfs://) would pass the hive-partition guard
+    # vacuously, compute total=0, then crash at os.rename AFTER the
+    # main write, stranding a .__compact__ dir — refuse it up front.
+    # The remote-store counterpart is Iceberg rewrite_data_files.
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet is local-filesystem only, got {path!r}; "
+            "use Iceberg rewrite_data_files (or a distcp-style rewrite) "
+            "for remote stores"
+        )
     bak = path + ".__old__"
     # crash recovery: a previous compaction killed between the two
     # renames left the data under .__old__ and nothing at `path`
     if os.path.isdir(bak) and not os.path.isdir(path):
         os.rename(bak, path)
+    if not os.path.isdir(path):
+        raise ValueError(f"{path} is not an existing local directory")
 
     # refuse hive-partitioned layouts: a flat rewrite would silently
     # turn partition columns into data columns and kill pruning

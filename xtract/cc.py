@@ -108,11 +108,26 @@ def _unpersist_ids(sc, ids: set[int]) -> None:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, steps_per_checkpoint: int = 1
 ) -> tuple[DataFrame, int]:
     """Undirected edge list (a, b) → ((node, rep), rounds) where rep is
     the component minimum. Isolated nodes (no edges) don't appear —
-    callers treat absence as a singleton."""
+    callers treat absence as a singleton.
+
+    ``steps_per_checkpoint`` fuses that many star rounds into each
+    materialization (checkpoint + checksum paid once per group;
+    convergence detection is unaffected — a converged star forest is a
+    fixpoint of the large/small-star pair, so the checksum still
+    stabilizes exactly at convergence). MEASURED at sf0.1/local[32]
+    (171k edges, 4 rounds to converge): spc=1 → 7.0 s, spc=2 → 8.8 s,
+    spc=3 → 40 s. Fusing is a net LOSS: the deeper unmaterialized plan
+    (4-6 joins + distincts) defeats AQE's per-stage statistics and the
+    detection granularity overshoots by up to spc-1 extra star rounds,
+    which costs more than the ~2 s/round scheduling barrier it saves.
+    Default stays 1; the knob remains for genuinely scheduler-bound
+    deployments (thousands of tiny rounds on a busy cluster)."""
+    if steps_per_checkpoint < 1:
+        raise ValueError("steps_per_checkpoint must be >= 1")
     sc = edges.sparkSession.sparkContext
     before0 = _persistent_ids(sc)
     cur = (
@@ -127,9 +142,15 @@ def connected_components(
     prev_added: set[int] = _persistent_ids(sc) - before0
     prev_sig = _checksum(cur)
     rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    converged = False
+    while rounds < max_rounds:
         before = _persistent_ids(sc)
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = cur
+        steps = min(steps_per_checkpoint, max_rounds - rounds)
+        for _ in range(steps):
+            nxt = _small_star(_large_star(nxt))
+        nxt = nxt.localCheckpoint(eager=True)
+        rounds += steps
         added = _persistent_ids(sc) - before
         sig = _checksum(nxt)
         # release generation n-1 now that n+1 is materialized
@@ -137,9 +158,10 @@ def connected_components(
         prev_added = added
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
-    else:
+    if not converged:
         raise RuntimeError(f"star CC did not converge in {max_rounds} rounds")
 
     # fixpoint edge set is a forest of stars: (member → root). The

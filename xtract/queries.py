@@ -2079,7 +2079,11 @@ def asof_view_before_purchase(spark, sf_dir):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        # view_id is the final tie-break: today views are pre-aggregated
+        # to one row per (user_id, ts) so (ts, side) alone is total, but
+        # if that pre-aggregation is ever relaxed, ascending view_id
+        # keeps "max view_id wins among equal-ts views" true here too
+        .orderBy("ts", "side", "view_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # both running-last expressions in ONE select → a single Window
@@ -2527,16 +2531,24 @@ def dedup_incremental(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     # the ONE capped-bucket implementation candidate_pairs also uses
     bands = mh.capped_band_keys(d.select("doc_id", "text"))
-    ref = bands.filter(F.col("doc_id") % 2 == 0).select(
-        "band", F.col("bkey").alias("bkey_r")
-    ).distinct()
-    new = bands.filter(F.col("doc_id") % 2 == 1)
+    # both sides derive from the same parent plan — alias them so the
+    # join condition names distinct attributes (an unaliased
+    # new["band"] == ref["band"] resolves to the SAME attribute and
+    # Spark degrades it to a trivially-true predicate with a warning)
+    ref = (
+        bands.filter(F.col("doc_id") % 2 == 0)
+        .select("band", "bkey")
+        .distinct()
+        .alias("ref")
+    )
+    new = bands.filter(F.col("doc_id") % 2 == 1).alias("new")
     hits = (
         new.join(
             ref,
-            (new["band"] == ref["band"]) & (new["bkey"] == ref["bkey_r"]),
+            (F.col("new.band") == F.col("ref.band"))
+            & (F.col("new.bkey") == F.col("ref.bkey")),
         )
-        .select("doc_id")
+        .select("new.doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
     )

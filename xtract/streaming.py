@@ -140,6 +140,14 @@ ASSEMBLED_STREAM = T.StructType(
     ]
 )
 
+# Bump whenever _ASM_STATE gains/loses/retypes a field. Live
+# checkpoints written under a different version CANNOT be resumed —
+# Spark's state store rejects the changed schema on restart; the
+# remedy is a FRESH checkpoint dir (open tails re-derive by replaying
+# the source). History: v1 = r2 schema; v2 = r3 added last_phys +
+# last_seq (arrival-order guard).
+ASM_STATE_FORMAT_VERSION = 2
+
 _ASM_STATE = T.StructType(
     [
         T.StructField("head_turn", T.IntegerType(), False),
