@@ -39,8 +39,16 @@ BENCH_QUERIES = [
     "split_train_val",
     "rep_ratios",
     "length_quantiles",
+    "length_rank_stats",
+    "table_profile",
+    "table_profile_approx",
     "pii_scrub_stats",
     "tfidf_top_terms",
+    "sample_per_source",
+    "funnel_steps",
+    "props_json_stats",
+    "pivot_lang_counts",
+    "hopping_30m",
     "minhash_bands",
     "simhash16",
     "emb_cosine_top5",
@@ -49,6 +57,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "minhash128_pairs",
     "minhash128_full_pairs",
+    "longdoc_dedup",
     "dedup_components",
     "dedup_incremental",
     "skew_salted_stats",

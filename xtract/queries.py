@@ -1521,61 +1521,75 @@ def html_block_classify(spark, sf_dir):
     )
 
 
-def _minhash128_cte(cap: int | None = None) -> str:
+def _minhash128_cte(
+    cap: int | None = None,
+    source: str = "documents",
+    sfx: str = "",
+    bare: bool = False,
+) -> str:
     """Shared DuckDB prefix: 128-perm MinHash signatures -> 32x4 band
     keys -> skew-capped buckets (xtract/minhash.py arithmetic restated
-    from scratch; used by minhash128_pairs, minhash128_full_pairs and
-    dedup_components, so the oracles agree on the candidate graph by
-    construction). cap=None restates the FULL-TEXT kernel — shingle
-    positions come from unnest(range(...)) over each doc's own length,
-    so no truncation anywhere. Opens with WITH RECURSIVE so callers
-    may append recursive CTEs."""
+    from scratch; used by minhash128_pairs, minhash128_full_pairs,
+    dedup_components and longdoc_dedup, so the oracles agree on the
+    candidate graph by construction). cap=None restates the FULL-TEXT
+    kernel — shingle positions come from unnest(range(...)) over each
+    doc's own length, so no truncation anywhere. Opens with WITH
+    RECURSIVE so callers may append recursive CTEs.
+
+    ``source`` is the (doc_id, text) relation (a view name or a
+    read_parquet() call). ``sfx`` suffixes every CTE name so two
+    instantiations (e.g. capped + full over the same corpus) can
+    coexist in one statement; internal column references go through
+    table aliases, so only the names change. ``bare=True`` omits the
+    leading WITH RECURSIVE for appending after an existing CTE list."""
     from . import minhash as mh
 
     pw_values = ", ".join(
         f"({j}, {pow(mh.B, mh.K - 1 - j, mh.M)})" for j in range(mh.K)
     )
     t_sql = f"substr(text, 1, {cap})" if cap is not None else "text"
+    head = "" if bare else "with recursive "
+    s = sfx
     return f"""
-    with recursive docs as (
+    {head}docs{s} as (
       select doc_id, {t_sql} as t
-      from documents
+      from {source}
       where length({t_sql}) >= {mh.K}
     ),
-    pw(j, pm) as (values {pw_values}),
-    kg as (
+    pw{s}(j, pm) as (values {pw_values}),
+    kg{s} as (
       select d.doc_id, d.p,
              cast(sum(cast(unicode(substr(d.t, d.p + pw.j, 1)) as bigint)
                       * cast(pw.pm as bigint)) % {mh.M} as bigint) as h
       from (
         select doc_id, t, unnest(range(1, length(t) - {mh.K - 2})) as p
-        from docs
+        from docs{s}
       ) d
-      cross join pw
+      cross join pw{s} pw
       group by d.doc_id, d.p
     ),
-    perm as (
+    perm{s} as (
       select cast(i as bigint) as i,
              ((i + 1) * {mh._A_MUL} + 1) % {mh.M} as a,
              ((i + 1) * {mh._B_MUL} + 7) % {mh.M} as b
       from range({mh.NPERM}) t(i)
     ),
-    sig as (
+    sig{s} as (
       select kg.doc_id, perm.i,
              min((perm.a * kg.h + perm.b) % {mh.M}) as s
-      from kg cross join perm
+      from kg{s} kg cross join perm{s} perm
       group by kg.doc_id, perm.i
     ),
-    bands as (
+    bands{s} as (
       select doc_id, cast(i // {mh.ROWS} as int) as band,
              md5(string_agg(cast(s as varchar), ',' order by i)) as bkey
-      from sig group by doc_id, i // {mh.ROWS}
+      from sig{s} group by doc_id, i // {mh.ROWS}
     ),
-    keep as (
-      select band, bkey from bands group by band, bkey
+    keep{s} as (
+      select band, bkey from bands{s} group by band, bkey
       having count(*) <= {mh.MAX_BUCKET}
     ),
-    kept as (select b.* from bands b join keep using (band, bkey))"""
+    kept{s} as (select b.* from bands{s} b join keep{s} using (band, bkey))"""
 
 
 def _dedup_components_sql() -> str:
@@ -1897,6 +1911,125 @@ def minhash128_full_pairs(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return mh.candidate_pairs(d, max_bucket=50, cap=None)
+
+
+# =====================================================================
+# Long-document corpus: where capped and full-text dedup PROVABLY
+# disagree (the sf tables' docs are shorter than minhash.CAP at small
+# scales, so the capped/full twins above are indistinguishable on
+# them — this corpus is multi-KB by construction, with planted
+# near-dups whose shared content lies entirely beyond the cap)
+# =====================================================================
+LONGDOC_GROUP = 10  # documents concatenated per long doc (~5 KB each)
+LONGDOC_TWIN_SKIP = 1200  # leading chars the twin does NOT share (> CAP)
+LONGDOC_TWIN_OFFSET = 1_000_000
+
+
+def longdoc_corpus(spark, sf_dir) -> DataFrame:
+    """Deterministic multi-KB corpus derived from ``documents``: every
+    LONGDOC_GROUP consecutive doc_ids concatenate (doc_id order) into
+    one base long doc; every EVEN base additionally gets a twin
+    (doc_id + LONGDOC_TWIN_OFFSET) whose first LONGDOC_TWIN_SKIP chars
+    are unique md5-repeat filler and whose remainder is shared with
+    the base verbatim — a planted near-dup visible ONLY to a kernel
+    that hashes past minhash.CAP."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        d.groupBy(F.expr(f"doc_id div {LONGDOC_GROUP}").alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    twins = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + LONGDOC_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.repeat(
+                F.md5(F.concat(F.lit("twin"), F.col("doc_id").cast("string"))),
+                40,
+            ),
+            F.expr(f"substring(text, {LONGDOC_TWIN_SKIP + 1})"),
+        ).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+def _longdoc_dedup_sql() -> str:
+    from . import minhash as mh
+
+    corpus_cte = f"""
+    with recursive longdocs as (
+      select cast(doc_id // {LONGDOC_GROUP} as bigint) as doc_id,
+             string_agg(text, chr(10) order by doc_id) as text
+      from documents group by doc_id // {LONGDOC_GROUP}
+    ),
+    twins as (
+      select doc_id + {LONGDOC_TWIN_OFFSET} as doc_id,
+             repeat(md5('twin' || cast(doc_id as varchar)), 40)
+               || substr(text, {LONGDOC_TWIN_SKIP + 1}) as text
+      from longdocs where doc_id % 2 = 0
+    ),
+    corpus as (select * from longdocs union all select * from twins),"""
+    pair = """
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as n_bands
+      from kept{s} a join kept{s} b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
+    """
+    return (
+        corpus_cte
+        + _minhash128_cte(cap=None, source="corpus", sfx="_f", bare=True)
+        + ","
+        + _minhash128_cte(cap=mh.CAP, source="corpus", sfx="_c", bare=True)
+        + ", pf as ("
+        + pair.format(s="_f")
+        + "), pc as ("
+        + pair.format(s="_c")
+        + """)
+    select coalesce(pf.doc_a, pc.doc_a) as doc_a,
+           coalesce(pf.doc_b, pc.doc_b) as doc_b,
+           cast(coalesce(pf.n_bands, 0) as bigint) as n_bands_full,
+           cast(coalesce(pc.n_bands, 0) as bigint) as n_bands_capped
+    from pf full outer join pc
+      on pf.doc_a = pc.doc_a and pf.doc_b = pc.doc_b
+    """
+    )
+
+
+@q("longdoc_dedup", _longdoc_dedup_sql())
+def longdoc_dedup(spark, sf_dir):
+    """Capped vs FULL-text near-dup detection on a corpus where they
+    must disagree: each planted twin shares its base's content only
+    beyond char LONGDOC_TWIN_SKIP (> minhash.CAP), so the capped
+    kernel sees disjoint prefixes (no candidate) while the full
+    chunked kernel recovers the pair — rows with n_bands_capped = 0
+    and n_bands_full > 0 are the planted dups, and the full kernel is
+    the green contract. DuckDB independently rebuilds the corpus from
+    ``documents`` AND both signature pipelines (capped + full CTE
+    instantiations side by side), so the corpus construction and both
+    kernels sit on the driver's hash gate. Reference analogue:
+    whole-text md5 keying, question_merger.py:568-609."""
+    from . import minhash as mh
+
+    corpus = longdoc_corpus(spark, sf_dir)
+    full = mh.candidate_pairs(corpus, cap=None).withColumnRenamed(
+        "n_bands", "n_bands_full"
+    )
+    capped = mh.candidate_pairs(corpus, cap=mh.CAP).withColumnRenamed(
+        "n_bands", "n_bands_capped"
+    )
+    return full.join(capped, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("n_bands_full", F.lit(0)).cast("long").alias("n_bands_full"),
+        F.coalesce("n_bands_capped", F.lit(0)).cast("long").alias("n_bands_capped"),
+    )
 
 
 @q("minhash128_pairs", _minhash128_sql())
@@ -2488,6 +2621,59 @@ def table_profile(spark, sf_dir):
     for c in ("source", "lang", "n_chars"):
         out = out.unionByName(prof(c))
     return out
+
+
+@q(
+    "table_profile_approx",
+    """
+    select 'doc_id' as col, cast(count(distinct doc_id) as bigint)
+             as n_distinct_exact, true as approx_ok from documents
+    union all
+    select 'source', cast(count(distinct source) as bigint), true
+    from documents
+    union all
+    select 'lang', cast(count(distinct lang) as bigint), true
+    from documents
+    union all
+    select 'n_chars', cast(count(distinct n_chars) as bigint), true
+    from documents
+    """,
+)
+def table_profile_approx(spark, sf_dir):
+    """The 100-TB variant of table_profile's distinct counts:
+    approx_count_distinct (HyperLogLog++, rsd=0.05) instead of the
+    exact shuffle-heavy countDistinct. HLL sketches merge map-side, so
+    the profile costs one pass and O(sketch) shuffle bytes per column
+    regardless of cardinality — the exact twin keeps the hash-gate
+    bit-for-bit check; this row gates the ESTIMATE: approx_ok is
+    computed Spark-side as |approx − exact| ≤ max(3, 15% of exact)
+    (3σ of the default rsd) and the oracle pins it literally true, so
+    an HLL regression past the bound flips the row red. Exact counts
+    are also emitted, keeping the estimate column itself off the typed
+    hash (two engines' HLL implementations can never bit-match)."""
+    d = t(spark, sf_dir, "documents")
+
+    def prof(col):
+        return d.agg(
+            F.lit(col).alias("col"),
+            F.countDistinct(col).cast("long").alias("n_distinct_exact"),
+            F.approx_count_distinct(col, rsd=0.05).cast("long").alias("_a"),
+        )
+
+    out = prof("doc_id")
+    for c in ("source", "lang", "n_chars"):
+        out = out.unionByName(prof(c))
+    bound = F.greatest(
+        F.lit(3).cast("double"), F.col("n_distinct_exact") * 0.15
+    )
+    return out.select(
+        "col",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("_a") - F.col("n_distinct_exact")).cast("double")
+            <= bound
+        ).alias("approx_ok"),
+    )
 
 
 # =====================================================================
