@@ -466,6 +466,7 @@ _SAMPLE_FIRST = [
     "x_dup_spans", "x_rank1_divergence",
     # new/changed this round
     "longdoc_dedup", "table_profile", "table_profile_approx",
+    "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
@@ -478,8 +479,7 @@ _SAMPLE_FIRST = [
     "skew_salted_stats", "asof_view_before_purchase", "split_train_val",
     "tfidf_top_terms", "rep_ratios", "pii_scrub_stats",
     "length_quantiles", "html_block_classify", "media_header_stats",
-    "w6_sessionize", "tumbling_1h", "j4_rank1_assignment",
-    "a1_pricing_summary",
+    "j4_rank1_assignment",
 ]
 
 

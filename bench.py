@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "near_dup_scored",
     "corpus_clean",
+    "span_dedup_corpus",
+    "pack_sequences",
+    "decontaminate_eval",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -348,6 +348,50 @@ def main() -> None:
         )
     )
 
+    # ---- decontamination: eval n-grams broadcast, big side unshuffled
+    dec = qmod.QUERIES["decontaminate_eval"](spark, "/root/testdata/sf0.001")
+    p = plan_of(dec)
+    sections.append(
+        (
+            "Decontamination (eval n-gram set broadcast to training grams)",
+            p,
+            [
+                "The held-out eval slice is ~1% of docs, so its distinct "
+                "n-gram set broadcasts: the training side's exploded n-grams "
+                "— the 100-TB side — are joined with a BroadcastHashJoin and "
+                "never shuffle on the gram key.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "decontaminate: n-gram overlap is a BroadcastHashJoin",
+            "BroadcastHashJoin" in p,
+        )
+    )
+
+    # ---- corpus span dedup: one content shuffle + one doc_id agg ----
+    sd = qmod.QUERIES["span_dedup_corpus"](spark, "/root/testdata/sf0.001")
+    p = plan_of(sd)
+    sections.append(
+        (
+            "Corpus span dedup (explode → first-occurrence window → reassemble)",
+            p,
+            [
+                "Exactly two hash exchanges: one partitioned BY SPAN CONTENT "
+                "for the global first-occurrence window, one by doc_id for "
+                "reassembly — the C4-style span dedup never approaches "
+                "pairwise comparison, and no join appears at all.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "span dedup: two exchanges (chunk window + doc reassembly), no join",
+            p.count("hashpartitioning(") == 2 and "Join" not in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

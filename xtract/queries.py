@@ -2751,6 +2751,220 @@ def dedup_incremental(spark, sf_dir):
 
 
 # =====================================================================
+# Corpus-level span dedup (C4/CCNet-style): remove text spans that
+# appear anywhere else in the corpus, keeping the first occurrence
+# =====================================================================
+SPAN_WORDS = 10  # words per dedup unit (C4 dedups fixed spans; CCNet
+# hashes paragraphs — this corpus has no newlines, so the unit is a
+# fixed word window)
+
+_SPAN_CHUNKS = (
+    "transform(sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),"
+    " i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+).format(w=SPAN_WORDS)
+
+
+@q(
+    "span_dedup_corpus",
+    f"""
+    with w as (select doc_id, string_split(text, ' ') as ws from documents),
+    c as (
+      select doc_id, i as pos,
+             array_to_string(ws[(i*{SPAN_WORDS}+1):(i*{SPAN_WORDS}+{SPAN_WORDS})], ' ') as chunk
+      from (
+        select doc_id, ws,
+               unnest(range(0, cast(ceil(len(ws)/{SPAN_WORDS}.0) as bigint))) as i
+        from w
+      )
+    ),
+    r as (
+      select *, row_number() over (partition by chunk
+                                   order by doc_id, pos) as rn
+      from c
+    )
+    select doc_id,
+           cast(count(*) as bigint) as chunks_total,
+           cast(count_if(rn = 1) as bigint) as chunks_kept,
+           cast(count(*) - count_if(rn = 1) as bigint) as chunks_removed,
+           md5(string_agg(chunk, ' ' order by pos) filter (rn = 1)) as clean_md5
+    from r group by doc_id
+    """,
+)
+def span_dedup_corpus(spark, sf_dir):
+    """Corpus-level span dedup, the C4 'discard repeated spans' /
+    CCNet 'drop duplicated paragraphs' step: every {SPAN_WORDS}-word
+    span that occurs anywhere else in the corpus is removed except its
+    FIRST occurrence (global (doc_id, pos) order), and each document
+    is re-assembled from its surviving spans (clean_md5 puts the exact
+    reconstruction on the hash gate; null when a doc — an exact
+    duplicate — loses every span). Plan: explode to span rows, ONE
+    hash shuffle partitioned by span content for the first-occurrence
+    window, one groupBy(doc_id) to re-assemble. At 100 TB the window
+    key would be xxhash64(chunk) (collision-checked) rather than the
+    raw string to shrink shuffle bytes; semantics identical."""
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPAN_CHUNKS)).alias("pos", "chunk"),
+    )
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    r = c.withColumn("rn", F.row_number().over(w_first))
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+        )
+    )
+    return r.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("chunks_total"),
+        F.count_if(F.col("rn") == 1).cast("long").alias("chunks_kept"),
+        (F.count("*") - F.count_if(F.col("rn") == 1))
+        .cast("long")
+        .alias("chunks_removed"),
+        F.when(
+            F.count_if(F.col("rn") == 1) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(kept_struct, lambda s: s["chunk"]), " "
+                )
+            ),
+        ).alias("clean_md5"),
+    )
+
+
+# =====================================================================
+# Sequence packing: contiguous token-budget batching (constant-length
+# training sequences from variable-length documents)
+# =====================================================================
+PACK_BUDGET = 512  # whitespace tokens per pack
+
+
+@q(
+    "pack_sequences",
+    f"""
+    with d as (
+      select doc_id, source,
+             cast(len(string_split(text, ' ')) as bigint) as n_tokens
+      from documents
+    )
+    select doc_id, source, n_tokens,
+           cast(coalesce(sum(n_tokens) over (
+                  partition by source order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0)
+                // {PACK_BUDGET} as bigint) as pack_id
+    from d
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for constant-length training batches:
+    documents are packed contiguously per source in doc_id order, and
+    a document's pack is floor(tokens_before_it / {PACK_BUDGET}) —
+    the contiguous-packing rule (a pack may overflow the budget by at
+    most one document; the first-fit alternative is inherently
+    sequential and not worth a driver-side loop). One running-sum
+    window per source partition, integer-exact in both engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            f"coalesce(sum(n_tokens) over (partition by source order by doc_id"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {PACK_BUDGET}"
+        ).alias("pack_id"),
+    )
+
+
+# =====================================================================
+# Decontamination: flag training docs sharing word n-grams with a
+# held-out evaluation set (the GPT-3 appendix-C overlap rule)
+# =====================================================================
+# words per overlap n-gram. GPT-3 used 13-gram tokens on natural text;
+# this synthetic corpus draws from a small vocabulary where long grams
+# never recur, so 4 is the calibrated size that makes the detection
+# path non-trivial (7 of 494 training docs flagged at sf0.01 — n >= 6
+# flags zero and would leave the join untested)
+DECON_N = 4
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 -> evaluation set
+
+_DECON_NGRAMS = (
+    "transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0) - 1),"
+    " i -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+).format(n=DECON_N)
+
+
+@q(
+    "decontaminate_eval",
+    f"""
+    with w as (select doc_id, string_split(text, ' ') as ws from documents),
+    g as (
+      select doc_id,
+             array_to_string(ws[(i+1):(i+{DECON_N})], ' ') as ng
+      from (
+        select doc_id, ws,
+               unnest(range(0, greatest(len(ws) - {DECON_N}, 0))) as i
+        from w
+      )
+    ),
+    ev as (select distinct ng from g where doc_id % {DECON_EVAL_MOD} = 0),
+    hits as (
+      select g.doc_id, count(distinct g.ng) as n_overlap
+      from g join ev using (ng)
+      where g.doc_id % {DECON_EVAL_MOD} <> 0
+      group by g.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(h.n_overlap, 0) as bigint) as n_overlap,
+           coalesce(h.n_overlap, 0) > 0 as contaminated
+    from documents d left join hits h using (doc_id)
+    where d.doc_id % {DECON_EVAL_MOD} <> 0
+    """,
+)
+def decontaminate_eval(spark, sf_dir):
+    """Training-set decontamination: a training document is flagged
+    when it shares any {DECON_N}-word n-gram with the held-out
+    evaluation slice (doc_id % {DECON_EVAL_MOD} == 0) — the GPT-3
+    overlap rule at word-gram granularity. The eval n-gram set is tiny
+    by construction (~1% of docs), so it is BROADCAST to the training
+    side's exploded n-grams: no shuffle of the big side at all, which
+    is the only shape that survives a 100-TB training corpus (the eval
+    set is fixed-size; at larger eval sets the same join degrades
+    gracefully to a shuffle-hash join on the n-gram)."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(F.expr(_DECON_NGRAMS)).alias("ng")
+    )
+    ev = F.broadcast(
+        g.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("ng").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(ev, "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n_overlap"))
+    )
+    return (
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# =====================================================================
 # Grouping-set / pivot surface (SQL-analytics completeness)
 # =====================================================================
 @q(
