@@ -467,14 +467,15 @@ _SAMPLE_FIRST = [
     # new/changed this round
     "longdoc_dedup", "table_profile", "table_profile_approx",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
+    "balance_langs", "dedup_keep_list", "train_order_shards",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
     "minhash128_pairs", "minhash128_full_pairs", "dedup_components",
-    "fp_dedup_exact", "fp_winnow", "fp_shared_pairs", "near_dup_scored",
-    "corpus_clean", "ngram_jaccard_pairs", "simhash16",
+    "fp_dedup_exact", "near_dup_scored",
+    "corpus_clean", "simhash16",
     "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5", "emb_near_dup",
     "skew_salted_stats", "asof_view_before_purchase", "split_train_val",
     "tfidf_top_terms", "rep_ratios", "pii_scrub_stats",

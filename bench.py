@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "span_dedup_corpus",
     "pack_sequences",
     "decontaminate_eval",
+    "balance_langs",
+    "dedup_keep_list",
+    "train_order_shards",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -392,6 +392,39 @@ def main() -> None:
         )
     )
 
+    # ---- global training order: bucketed rank, no global window ----
+    ts = qmod.QUERIES["train_order_shards"](spark, "/root/testdata/sf0.001")
+    p = plan_of(ts)
+    sections.append(
+        (
+            "Global training order (bucketed two-pass rank + shards)",
+            p,
+            [
+                "The global row_number is computed per md5-prefix "
+                "bucket plus a broadcast cumulative offset — the plan "
+                "contains NO SinglePartition exchange, which is the "
+                "signature of the naive global-order window that "
+                "serializes the whole table through one task.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "train order: no SinglePartition exchange; offsets broadcast",
+            "SinglePartition" not in p and "BroadcastExchange" in p,
+        )
+    )
+
+    # ---- language rebalance: metadata quota broadcast --------------
+    bl = qmod.QUERIES["balance_langs"](spark, "/root/testdata/sf0.001")
+    p = plan_of(bl)
+    checks.append(
+        (
+            "balance_langs: data-dependent quota is broadcast, one lang window",
+            "Broadcast" in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

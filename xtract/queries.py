@@ -3216,3 +3216,192 @@ def length_rank_stats(spark, sf_dir):
         F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pr_ppm"),
         F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cd_ppm"),
     )
+
+
+# =====================================================================
+# Language rebalancing — downsample every language to the rarest
+# language's count (the multilingual-training balance step)
+# =====================================================================
+@q(
+    "balance_langs",
+    """
+    with c as (select lang, count(*) as n_l from documents group by lang),
+    qta as (select min(n_l) as quota from c),
+    r as (
+      select doc_id, lang,
+             row_number() over (
+               partition by lang
+               order by md5(cast(doc_id as varchar) || ':' || lang), doc_id
+             ) as rk
+      from documents
+    )
+    select doc_id, lang, rk <= (select quota from qta) as keep
+    from r
+    """,
+)
+def balance_langs(spark, sf_dir):
+    """Language rebalancing for multilingual training: every language
+    is downsampled to the RAREST language's document count (the
+    corpus here is ~3.4x en-heavy), with membership decided by the
+    same content-independent md5 permutation sample_per_source uses —
+    reproducible across runs, engines and partitionings. The quota is
+    data-dependent (min over per-lang counts): a 5-row aggregate
+    broadcast into the per-doc verdict, so the big side is touched by
+    exactly one window shuffle on lang. Integer-exact by construction
+    (count-based quota, no temperature exponent whose floating-point
+    would differ between engines)."""
+    d = t(spark, sf_dir, "documents")
+    quota = d.groupBy("lang").count().agg(
+        F.min("count").cast("long").alias("quota")
+    )
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    )
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .crossJoin(F.broadcast(quota))
+        .select("doc_id", "lang", (F.col("rk") <= F.col("quota")).alias("keep"))
+    )
+
+
+# =====================================================================
+# Dedup keep-list — canonical document per near-dup cluster (the
+# pairs -> clusters -> keep/drop verdict that actually prunes a corpus)
+# =====================================================================
+def _dedup_keep_list_sql() -> str:
+    from . import minhash as mh
+
+    return _minhash128_cte(cap=mh.CAP) + """
+    , pairs as (
+      select a.doc_id as a, b.doc_id as b
+      from kept a join kept b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    edges as (select a, b from pairs union select b, a from pairs),
+    closure(a, b) as (
+      select a, b from edges
+      union
+      select c.a, e.b from closure c join edges e on c.b = e.a
+      where c.a <> e.b
+    ),
+    reps as (select a as doc, least(a, min(b)) as rep from closure group by a)
+    select d.doc_id,
+           cast(coalesce(r.rep, d.doc_id) as bigint) as cluster_rep,
+           row_number() over (
+             partition by coalesce(r.rep, d.doc_id)
+             order by d.n_chars desc, d.doc_id
+           ) = 1 as keep
+    from documents d left join reps r on d.doc_id = r.doc
+    """
+
+
+@q("dedup_keep_list", _dedup_keep_list_sql())
+def dedup_keep_list(spark, sf_dir):
+    """The step that actually prunes a corpus: per near-dup cluster
+    (dedup_components' large-star/small-star labels over the
+    production 128-perm candidate graph), elect ONE canonical
+    document — longest first (n_chars desc), smallest doc_id on ties
+    — and emit a per-document keep/drop verdict. Unlabeled documents
+    are singletons and keep themselves. The keep column is the
+    materialized artifact a 100-TB ingest anti-joins at write time;
+    the canonical-election window shuffles on the cluster key. Note
+    clusters are NOT bounded in size (band chaining builds giant
+    components — this sf0.01 corpus has a 474-member one, and the
+    oracle agrees on it); if a pathological cluster ever dominated a
+    task, the election degrades gracefully to a two-phase
+    max_by(doc_id, (n_chars, -doc_id)) aggregation + broadcast join,
+    which salts like any skewed agg. DuckDB independently rebuilds
+    signatures -> bands -> candidate edges, closes them with a
+    recursive CTE, and re-runs the election."""
+    from . import cc
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents")
+    pairs = mh.candidate_pairs(
+        d.select("doc_id", "text"), max_bucket=50
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels, _ = cc.connected_components(pairs)
+    j = d.select("doc_id", "n_chars").join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    j = j.withColumn(
+        "cluster_rep", F.coalesce("rep", "doc_id").cast("long")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return j.select(
+        "doc_id",
+        "cluster_rep",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# =====================================================================
+# Deterministic global training order + shard assignment — the
+# scalable global row_number (bucketed two-pass, never a
+# single-partition window)
+# =====================================================================
+SHARD_DOCS = 100  # documents per output shard
+
+
+@q(
+    "train_order_shards",
+    f"""
+    with r as (
+      select doc_id,
+             row_number() over (
+               order by md5(cast(doc_id as varchar)), doc_id
+             ) - 1 as train_rank
+      from documents
+    )
+    select doc_id, cast(train_rank as bigint) as train_rank,
+           cast(train_rank // {SHARD_DOCS} as bigint) as shard_id
+    from r
+    """,
+)
+def train_order_shards(spark, sf_dir):
+    """Deterministic global training order (the corpus 'shuffle' a
+    trainer replays identically every epoch) plus contiguous shard
+    assignment, WITHOUT the single-partition global window that a
+    naive row_number() over (order by ...) compiles to. Two-pass
+    bucketed rank: the order key is md5(doc_id); its first two hex
+    chars define 256 buckets whose counts are a metadata-sized
+    aggregate (collected to the driver — bounded at 256 rows, the
+    ckpt.py precedent); cumulative bucket offsets broadcast back and
+    each document's rank is offset[bucket] + its row_number within
+    the bucket (bucket is a PREFIX of the key, so per-bucket order
+    concatenates to the global order). The heavy table sees one
+    window shuffle over 256 uniform groups — at 100 TB widen the
+    prefix to 4 hex chars (65k buckets) and nothing else changes.
+    Plan-audited: no SinglePartition exchange anywhere."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    d = d.withColumn("bkt", F.substring("k", 1, 2))
+    rows = sorted(
+        (r["bkt"], r["n"])
+        for r in d.groupBy("bkt").agg(F.count("*").alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for bkt, n in rows:
+        offs.append((bkt, acc))
+        acc += n
+    off_df = d.sparkSession.createDataFrame(offs, "bkt string, off long")
+    w = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    return (
+        d.join(F.broadcast(off_df), "bkt")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w) - 1).alias("train_rank"),
+        )
+        .select(
+            "doc_id",
+            F.col("train_rank").cast("long"),
+            F.floor(F.col("train_rank") / SHARD_DOCS)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
