@@ -434,6 +434,46 @@ def _extraction_queries() -> dict[str, Callable]:
             ).cast("long").alias("divergence_bp"),
         )
 
+    def x_stream_join(spark, sf_dir):
+        """Stream-stream interval join (streaming.join_views_purchases)
+        on the driver's hash gate: the events table is replayed as TWO
+        file streams (views / purchases), joined inside Spark's
+        StreamingSymmetricHashJoin with watermark-bounded state, and
+        the drained output is compared against DuckDB's batch interval
+        join over the same rows. Single-batch availableNow drain by
+        design (the parquet source's file count is far below the
+        trigger's file limit), mirroring x_assemble_stream — cross-
+        batch state retention/eviction is pinned by test_streaming."""
+        import os
+        import shutil
+
+        from xtract import mat, streaming
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the testdata table is a single parquet FILE; the file-stream
+        # source wants a directory, so replay it through a materialized
+        # copy (fresh bytes every process, same rows)
+        ev = mat.materialize(
+            spark,
+            sf_dir,
+            "events_src",
+            lambda: spark.read.parquet(f"{sf_dir}/events.parquet"),
+        )
+        base = mat.path(sf_dir, "stream_join_run")
+        shutil.rmtree(base, ignore_errors=True)
+        streaming.run_to_parquet(
+            streaming.join_views_purchases(
+                spark.readStream.schema(ev.schema).parquet(
+                    mat.path(sf_dir, "events_src")
+                )
+            ),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        return spark.read.parquet(os.path.join(base, "out")).select(
+            "purchase_id", "user_id", "view_id", "gap_s"
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -447,6 +487,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_assemble_unordered": x_assemble_unordered,
         "x_dup_spans": x_dup_spans,
         "x_rank1_divergence": x_rank1_divergence,
+        "x_stream_join": x_stream_join,
     }
 
 
@@ -463,7 +504,7 @@ _SAMPLE_FIRST = [
     "x_extract_spans", "x_extract_relational", "x_turn_counters",
     "x_exam_info", "x_analyze_groups", "x_pdf_extract", "x_assemble",
     "x_assemble_sparse", "x_assemble_stream", "x_assemble_unordered",
-    "x_dup_spans", "x_rank1_divergence",
+    "x_dup_spans", "x_rank1_divergence", "x_stream_join",
     # new/changed this round
     "longdoc_dedup", "table_profile", "table_profile_approx",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -474,7 +515,7 @@ _SAMPLE_FIRST = [
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
     "minhash128_pairs", "minhash128_full_pairs", "dedup_components",
-    "fp_dedup_exact", "near_dup_scored",
+    "near_dup_scored",
     "corpus_clean", "simhash16",
     "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5", "emb_near_dup",
     "skew_salted_stats", "asof_view_before_purchase", "split_train_val",
@@ -648,6 +689,20 @@ def _extraction_oracles() -> dict[str, str]:
                               / greatest(count(*), 1)) as bigint)
                      as divergence_bp
             from j
+        """,
+        # streaming interval join must reproduce the batch interval
+        # join over the same event rows (the driver pre-registers the
+        # raw tables as views, so `events` is directly citable here)
+        "x_stream_join": """
+            select p.event_id as purchase_id,
+                   p.user_id,
+                   v.event_id as view_id,
+                   cast((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000
+                        as bigint) as gap_s
+            from events p join events v
+              on p.user_id = v.user_id
+             and p.event_type = 'purchase' and v.event_type = 'view'
+             and v.ts <= p.ts and v.ts >= p.ts - interval '6 hours'
         """,
         "x_assemble": asm_cte()
         + """

@@ -500,3 +500,54 @@ def test_dedup_transcripts_stream(spark, tmp_path):
     want = sorted((r.conv_id, r.turn_idx) for r in tr.collect())
     assert got == want  # every turn exactly once despite re-delivery
     tr.unpersist()
+
+
+def test_stream_join_views_purchases_cross_batch(spark, tmp_path):
+    """Stream-stream interval join: views arrive in micro-batch 1,
+    purchases in micro-batch 2 (maxFilesPerTrigger=1, two files) — the
+    join must match purchases against VIEW STATE retained from the
+    earlier batch, and equal the batch twin exactly."""
+    import datetime as dt
+
+    src = str(tmp_path / "events")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    cols = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    views = [
+        (i, t0 + dt.timedelta(minutes=i), i % 3, "view", 0.0, "{}")
+        for i in range(9)
+    ]
+    purchases = [
+        (100 + i, t0 + dt.timedelta(minutes=30 + i), i % 3, "purchase", 1.0, "{}")
+        for i in range(3)
+    ]
+    spark.createDataFrame(views, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(purchases, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch = spark.read.parquet(src)
+    stream = streaming.join_views_purchases(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        horizon="2 hours",
+    )
+    assert stream.isStreaming
+    out = str(tmp_path / "join_out")
+    streaming.run_to_parquet(stream, out, str(tmp_path / "ck"))
+
+    got = sorted(
+        (r.purchase_id, r.user_id, r.view_id, r.gap_s)
+        for r in spark.read.parquet(out).collect()
+    )
+    # withWatermark is a no-op on a batch DF, so the same plan is the
+    # batch twin
+    exp = sorted(
+        (r.purchase_id, r.user_id, r.view_id, r.gap_s)
+        for r in streaming.join_views_purchases(batch, horizon="2 hours").collect()
+    )
+    assert got == exp
+    assert len(got) == 9  # 3 users x 3 retained views each

@@ -536,3 +536,59 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def join_views_purchases(
+    events: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched with the
+    same user's views in the preceding ``horizon`` — the streaming
+    twin of the batch as-of/time-band family (J1 spatial band join,
+    asof_view_before_purchase). Both sides carry a watermark of
+    ``horizon``, which is exactly the state bound Spark needs: a
+    buffered view can be evicted once the purchase-side watermark
+    passes v_ts + horizon, so state is O(events within the horizon),
+    never O(stream). The join condition is an equi-key (user) plus a
+    time band, which Spark executes as a StreamingSymmetricHashJoin
+    keyed on user_id — at cluster scale the state store shards by the
+    equi-key, the same partitioning story as the batch join."""
+    # watermarks require TIMESTAMP (LTZ); under the engine's pinned
+    # UTC session TZ the NTZ->LTZ cast is wall-clock-identity, matching
+    # the oracle's epoch(naive) arithmetic
+    ts_ltz = F.col("ts").cast("timestamp")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            ts_ltz.alias("v_ts"),
+        )
+        .withWatermark("v_ts", horizon)
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            ts_ltz.alias("p_ts"),
+        )
+        .withWatermark("p_ts", horizon)
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"p_user = user_id and v_ts <= p_ts "
+            f"and v_ts >= p_ts - interval {horizon}"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        # integer-microsecond difference floor-divided to seconds:
+        # flooring each side separately would drift ±1 s on
+        # sub-second timestamps vs the oracle's difference-of-epochs
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000")
+        .cast("long")
+        .alias("gap_s"),
+    )
