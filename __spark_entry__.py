@@ -509,15 +509,15 @@ _SAMPLE_FIRST = [
     "longdoc_dedup", "table_profile", "table_profile_approx",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
+    "session_events_native", "length_quantiles_approx", "vocab_oov",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
     "minhash128_pairs", "minhash128_full_pairs", "dedup_components",
-    "near_dup_scored",
-    "corpus_clean", "simhash16",
-    "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5", "emb_near_dup",
+    "corpus_clean",
+    "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5",
     "skew_salted_stats", "asof_view_before_purchase", "split_train_val",
     "tfidf_top_terms", "rep_ratios", "pii_scrub_stats",
     "length_quantiles", "html_block_classify", "media_header_stats",

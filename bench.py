@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "balance_langs",
     "dedup_keep_list",
     "train_order_shards",
+    "session_events_native",
+    "length_quantiles_approx",
+    "vocab_oov",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -425,6 +425,17 @@ def main() -> None:
         )
     )
 
+    # ---- vocab build: distributed top-k, vocab broadcast back ------
+    vo = qmod.QUERIES["vocab_oov"](spark, "/root/testdata/sf0.001")
+    p = plan_of(vo)
+    checks.append(
+        (
+            "vocab_oov: top-k is TakeOrderedAndProject (no global sort); "
+            "vocab broadcast to the gram stream",
+            "TakeOrderedAndProject" in p and "BroadcastHashJoin" in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -3405,3 +3405,215 @@ def train_order_shards(spark, sf_dir):
             .alias("shard_id"),
         )
     )
+
+
+# =====================================================================
+# Native session windows (gap-timeout sessionization over event time —
+# the built-in session_window operator, distinct from w6's
+# turn-distance gaps-and-islands)
+# =====================================================================
+SESSION_GAP_H = 8  # hours of inactivity that closes a session
+
+
+@q(
+    "session_events_native",
+    f"""
+    with g as (
+      select user_id, ts, event_type,
+             case when lag(ts) over w is null
+                       or ts - lag(ts) over w > interval {SESSION_GAP_H} hour
+                  then 1 else 0 end as brk
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    s as (
+      select *, sum(brk) over (partition by user_id order by ts
+                               rows unbounded preceding) as sid
+      from g
+    )
+    select user_id,
+           cast(epoch_us(min(ts)) as bigint) as s_start_us,
+           cast(epoch_us(max(ts)) + {SESSION_GAP_H * 3600 * 1000000}
+                as bigint) as s_end_us,
+           cast(count(*) as bigint) as n_events,
+           cast(count_if(event_type = 'purchase') as bigint) as n_purchases
+    from s group by user_id, sid
+    """,
+)
+def session_events_native(spark, sf_dir):
+    """Gap-timeout sessionization with Spark's NATIVE session_window
+    aggregate ({SESSION_GAP_H}h inactivity closes a session): one
+    groupBy(user_id, session_window(ts, gap)) pass — the engine merges
+    adjacent windows internally, no self-window needed, and the same
+    expression works unchanged under readStream with a watermark
+    (the streaming sessionization path). DuckDB has no session window,
+    so the oracle restates it as lag-break gaps-and-islands; window
+    end is last-event + gap by session_window's definition. Timestamps
+    compared in integer microseconds."""
+    d = t(spark, sf_dir, "events")
+    sw = F.session_window(
+        F.col("ts").cast("timestamp"), f"{SESSION_GAP_H} hours"
+    )
+    return (
+        d.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("s_start_us"),
+            F.unix_micros("sw.end").alias("s_end_us"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
+# =====================================================================
+# Approximate-quantile twin of length_quantiles (the 100-TB variant,
+# with the estimate gated instead of hash-compared)
+# =====================================================================
+@q(
+    "length_quantiles_approx",
+    """
+    with r as (
+      select source, n_chars,
+             row_number() over (partition by source
+                                order by n_chars, doc_id) as rn,
+             count(*) over (partition by source) as n
+      from documents
+    )
+    select source,
+           cast(max(case when rn = (n - 1) // 2 + 1 then n_chars end)
+                as bigint) as p50_exact,
+           cast(max(case when rn = (9 * (n - 1)) // 10 + 1 then n_chars end)
+                as bigint) as p90_exact,
+           true as approx_ok
+    from r group by source
+    """,
+)
+def length_quantiles_approx(spark, sf_dir):
+    """The 100-TB variant of length_quantiles: approx_percentile
+    (Greenwald-Khanna sketch, accuracy 1/eps = 100) replaces the
+    full-sort rank window — sketches merge map-side, so the quantile
+    pass costs one aggregation and O(sketch) shuffle bytes per source
+    regardless of group size. Same gating discipline as
+    table_profile_approx, but in the sketch's OWN error model: GK
+    bounds RANK error (eps·n with eps = 1/accuracy = 1/100), not
+    value error, so the gate accepts the approx value iff it lies
+    between the exact order statistics at rank ± (1 + ceil(n/100))
+    around the target — the sketch's guaranteed rank slack plus one
+    order statistic for the engine's discrete-percentile convention
+    at small n. Verified to hold at both sf0.01 (n=25/group, tol 2)
+    and sf0.1 (n=250/group, tol 4). The boolean is pinned literally
+    true by the oracle; the exact values ride the hash gate."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def pick(rank_sql):
+        return F.max(
+            F.when(F.col("rn") == F.expr(rank_sql), F.col("n_chars"))
+        ).cast("long")
+
+    tol = "(1 + (n + 99) div 100)"  # 1 + ceil(eps*n), eps = 1/100
+    exact = r.groupBy("source").agg(
+        pick("(n - 1) div 2 + 1").alias("p50_exact"),
+        pick(f"greatest((n - 1) div 2 + 1 - {tol}, 1)").alias("p50_lo"),
+        pick(f"least((n - 1) div 2 + 1 + {tol}, n)").alias("p50_hi"),
+        pick("(9 * (n - 1)) div 10 + 1").alias("p90_exact"),
+        pick(f"greatest((9 * (n - 1)) div 10 + 1 - {tol}, 1)").alias("p90_lo"),
+        pick(f"least((9 * (n - 1)) div 10 + 1 + {tol}, n)").alias("p90_hi"),
+    )
+    approx = d.groupBy("source").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.5, 0.9), 100)"
+        ).alias("ap")
+    )
+    ok = (
+        F.col("ap")[0].between(F.col("p50_lo"), F.col("p50_hi"))
+    ) & (F.col("ap")[1].between(F.col("p90_lo"), F.col("p90_hi")))
+    return (
+        exact.join(approx, "source")
+        .select("source", "p50_exact", "p90_exact", ok.alias("approx_ok"))
+    )
+
+
+# =====================================================================
+# Vocabulary build + out-of-vocabulary rate (tokenizer-prep pass)
+# =====================================================================
+VOCAB_K = 256  # vocabulary size (top word-bigrams by frequency)
+
+
+@q(
+    "vocab_oov",
+    f"""
+    with w as (select doc_id, string_split(text, ' ') as ws from documents),
+    b as (
+      select doc_id, ws[i] || ' ' || ws[i+1] as bg
+      from (select doc_id, ws, unnest(range(1, len(ws))) as i from w)
+    ),
+    v as (
+      select bg from (
+        select bg, row_number() over (
+                 order by count(*) desc, bg) as rk
+        from b group by bg
+      ) where rk <= {VOCAB_K}
+    )
+    select b.doc_id,
+           cast(count(*) as bigint) as n_bigrams,
+           cast(count_if(v.bg is null) as bigint) as n_oov,
+           cast(count_if(v.bg is null) * 1000000 // count(*) as bigint)
+             as oov_ppm
+    from b left join v on b.bg = v.bg
+    group by b.doc_id
+    """,
+)
+def vocab_oov(spark, sf_dir):
+    """Tokenizer-prep pass: build a frequency vocabulary (top
+    {VOCAB_K} word bigrams, ties broken lexicographically for
+    determinism) and score every document's out-of-vocabulary rate
+    against it. The vocabulary is computed with a distributed top-k
+    (orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    partial top-k, never a global sort) over the aggregated gram
+    table, whose size is the VOCABULARY, not the corpus; it is then
+    BROADCAST back to the exploded gram stream, so the 100-TB side
+    joins without a shuffle. oov_ppm is integer floor arithmetic —
+    exact in both engines."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                "             element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    vocab = (
+        b.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .limit(VOCAB_K)
+        .select("bg", F.lit(True).alias("_in"))
+    )
+    return (
+        b.join(F.broadcast(vocab), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count_if(F.col("_in").isNull()).cast("long").alias("n_oov"),
+            F.expr("count_if(_in is null) * 1000000 div count(*)")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
