@@ -551,3 +551,49 @@ def test_stream_join_views_purchases_cross_batch(spark, tmp_path):
     )
     assert got == exp
     assert len(got) == 9  # 3 users x 3 retained views each
+
+
+def test_session_counts_stream_matches_batch(spark, tmp_path):
+    """Native session_window under readStream: sessions whose end
+    (last event + gap) is passed by the final watermark are flushed
+    and must equal the batch twin; still-open sessions stay in state
+    (append-mode contract)."""
+    import datetime as dt
+
+    src = str(tmp_path / "events")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for u in range(3):
+        # session A: two events 10 min apart (closes at +40 min)
+        rows += [(u, t0), (u, t0 + dt.timedelta(minutes=10))]
+        # session B: one event at +2h (closes at +2h30)
+        rows.append((u, t0 + dt.timedelta(hours=2)))
+    # sentinel event far in the future drives the final watermark past
+    # every session above; its own session stays open (never emitted)
+    rows.append((99, t0 + dt.timedelta(days=1)))
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    out = str(tmp_path / "sess_out")
+    streaming.run_to_parquet(
+        streaming.session_counts(
+            spark.readStream.schema(batch.schema).parquet(src),
+            gap="30 minutes",
+        ),
+        out,
+        str(tmp_path / "ck"),
+    )
+    got = sorted(
+        (r.user_id, r.s_start_us, r.s_end_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    max_us = int(t0.timestamp() + 86400) * 1_000_000
+    exp = sorted(
+        (r.user_id, r.s_start_us, r.s_end_us, r.n_events)
+        for r in streaming.session_counts(batch, gap="30 minutes").collect()
+        if r.s_end_us <= max_us
+    )
+    assert got == exp
+    assert len(got) == 6  # 3 users x 2 closed sessions

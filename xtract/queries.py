@@ -2758,9 +2758,12 @@ SPAN_WORDS = 10  # words per dedup unit (C4 dedups fixed spans; CCNet
 # hashes paragraphs — this corpus has no newlines, so the unit is a
 # fixed word window)
 
+# over a pre-split `ws` array column: evaluating split() inside the
+# lambda body would re-tokenize the document once per span (no CSE
+# inside lambdas)
 _SPAN_CHUNKS = (
-    "transform(sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),"
-    " i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+    "transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
+    " i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
 ).format(w=SPAN_WORDS)
 
 
@@ -2803,7 +2806,7 @@ def span_dedup_corpus(spark, sf_dir):
     key would be xxhash64(chunk) (collision-checked) rather than the
     raw string to shrink shuffle bytes; semantics identical."""
     d = t(spark, sf_dir, "documents")
-    c = d.select(
+    c = d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id",
         F.posexplode(F.expr(_SPAN_CHUNKS)).alias("pos", "chunk"),
     )
@@ -2896,9 +2899,11 @@ def pack_sequences(spark, sf_dir):
 DECON_N = 4
 DECON_EVAL_MOD = 97  # doc_id % MOD == 0 -> evaluation set
 
+# over a pre-split `ws` array column (same no-CSE-inside-lambda
+# rationale as _SPAN_CHUNKS)
 _DECON_NGRAMS = (
-    "transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0) - 1),"
-    " i -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+    "transform(sequence(0, greatest(size(ws) - {n}, 0) - 1),"
+    " i -> array_join(slice(ws, i + 1, {n}), ' '))"
 ).format(n=DECON_N)
 
 
@@ -2940,7 +2945,7 @@ def decontaminate_eval(spark, sf_dir):
     set is fixed-size; at larger eval sets the same join degrades
     gracefully to a shuffle-hash join on the n-gram)."""
     d = t(spark, sf_dir, "documents")
-    g = d.select(
+    g = d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", F.explode(F.expr(_DECON_NGRAMS)).alias("ng")
     )
     ev = F.broadcast(
@@ -3589,13 +3594,16 @@ def vocab_oov(spark, sf_dir):
     joins without a shuffle. oov_ppm is integer floor arithmetic —
     exact in both engines."""
     d = t(spark, sf_dir, "documents")
-    b = d.select(
+    # split once per row, THEN build bigrams over the array — the
+    # single-expression form re-evaluates split() per bigram (no CSE
+    # inside lambda bodies) and costs ~4x on wide docs
+    b = d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                "             element_at(ws, i + 1)))"
             )
         ).alias("bg"),
     )

@@ -592,3 +592,30 @@ def join_views_purchases(
         .cast("long")
         .alias("gap_s"),
     )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "8 hours",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-timeout sessionization with the native
+    session_window aggregate — the streaming twin of
+    queries.session_events_native (same expression; under readStream
+    the engine merges/extends open sessions in the state store and
+    flushes a session only when the watermark passes its end, i.e.
+    last event + gap). State is bounded: one open session per key at
+    most ``gap`` behind the watermark."""
+    e = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("s_start_us"),
+            F.unix_micros("sw.end").alias("s_end_us"),
+            "n_events",
+        )
+    )
