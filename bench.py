@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "session_events_native",
     "length_quantiles_approx",
     "vocab_oov",
+    "bloom_dedup_exact",
+    "domain_quality_gate",
+    "cohort_retention",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -1,0 +1,129 @@
+"""Property tests for the round-4 pipeline operators: bloom-pruned
+exact dedup (no false negatives, real pruning), the domain-level
+quality gate (bar recomputation), and the cohort retention matrix
+(offset-0 identity). The cross-engine value contract is covered by
+tools/check_contract.py / the driver; these pin the operator-level
+invariants the contract can't see."""
+import pyspark.sql.functions as F
+
+from xtract import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fp(d):
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, q.PFX_WORDS), " ")
+        ).alias("fp"),
+    )
+
+
+def test_bloom_dedup_matches_direct_semi_join(spark):
+    """The bloom path's final answer must equal the straight
+    new-semi-join-corpus answer — i.e. the filter admits every true
+    member (no false negatives) and the verify join removes every
+    false positive."""
+    got = {
+        (r.source, r.new_docs, r.dup_of_corpus, r.admitted)
+        for r in q.QUERIES["bloom_dedup_exact"](spark, SF).collect()
+    }
+    d = _fp(q.t(spark, SF, "documents")).join(
+        q.t(spark, SF, "documents").select("doc_id", "source"), "doc_id"
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    dups = new.join(corpus, "fp", "left_semi").select("doc_id")
+    exp = {
+        (r.source, r.new_docs, r.dup_of_corpus, r.new_docs - r.dup_of_corpus)
+        for r in new.join(
+            dups.withColumn("dup", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("new_docs"),
+            F.count("dup").cast("long").alias("dup_of_corpus"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_bloom_prunes_before_verify(spark):
+    """The broadcast-bitmap membership test must shrink the
+    verify-join input: positives are a (strict, on this corpus)
+    superset of true members and far fewer than the whole batch."""
+    d = _fp(q.t(spark, SF, "documents"))
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    seeds = F.array(*[F.lit(i) for i in range(q.BLOOM_K)])
+
+    def bits(df):
+        return (
+            df.select("doc_id", "fp", F.explode(seeds).alias("si"))
+            .withColumn("bit", F.pmod(F.xxhash64("fp", "si"), F.lit(q.BLOOM_M)))
+            .withColumn("widx", F.expr("int(bit div 64)"))
+            .withColumn("mask", F.expr("shiftleft(1L, int(bit % 64))"))
+        )
+
+    bitmap = bits(corpus).groupBy("widx").agg(F.bit_or("mask").alias("word"))
+    pos = {
+        r.doc_id
+        for r in bits(new)
+        .join(F.broadcast(bitmap), "widx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.col("mask").bitwiseAND(F.col("word")) != 0, F.lit(False)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hit").alias("a"))
+        .filter("a")
+        .collect()
+    }
+    members = {
+        r.doc_id
+        for r in new.join(
+            corpus.select("fp").distinct(), "fp", "left_semi"
+        ).collect()
+    }
+    assert members <= pos  # the bloom guarantee
+    assert len(pos) < new.count()  # and it actually prunes
+
+
+def test_domain_gate_bar_is_corpus_mean(spark):
+    rows = q.QUERIES["domain_quality_gate"](spark, SF).collect()
+    d = q.t(spark, SF, "documents")
+    tot = d.agg(
+        F.sum("n_chars").alias("c"),
+        F.sum(F.size(F.split("text", " "))).alias("w"),
+    ).collect()[0]
+    bar = (1000 * tot.c) // tot.w
+    for r in rows:
+        assert r.kept == (r.cpw_milli >= bar)
+    assert any(r.kept for r in rows)
+    assert any(not r.kept for r in rows)
+
+
+def test_cohort_offset0_equals_cohort_size(spark):
+    """Every user is active in their own first-purchase week, so the
+    offset-0 cell of each cohort row equals that cohort's size."""
+    rows = q.QUERIES["cohort_retention"](spark, SF).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    e = q.t(spark, SF, "events")
+    sizes = dict(
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.min(F.col("ts").cast("timestamp").cast("long")) / 604800)
+            .cast("long")
+            .alias("cw")
+        )
+        .groupBy("cw")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    zero = {r.cohort_week: r.active_users for r in rows if r.week_offset == 0}
+    assert zero == sizes

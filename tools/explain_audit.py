@@ -436,6 +436,69 @@ def main() -> None:
         )
     )
 
+    # ---- bloom dedup: bitmap broadcast, membership map-side --------
+    bd = qmod.QUERIES["bloom_dedup_exact"](spark, "/root/testdata/sf0.001")
+    p = plan_of(bd)
+    sections.append(
+        (
+            "Bloom-pruned exact dedup (bitmap broadcast → verify join)",
+            p,
+            [
+                "The corpus bloom filter is materialized as an m/64-row "
+                "bitmap table and BROADCAST: the new batch tests membership "
+                "in a BroadcastHashJoin (map-side, no shuffle of the batch "
+                "on the fingerprint), and only bloom-positives reach the "
+                "exact-verify join.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "bloom dedup: bitmap membership is a BroadcastHashJoin, no cartesian",
+            "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+        )
+    )
+
+    # ---- domain gate: corpus bar joins as a broadcast scalar -------
+    dg = qmod.QUERIES["domain_quality_gate"](spark, "/root/testdata/sf0.001")
+    p = plan_of(dg)
+    checks.append(
+        (
+            "domain gate: corpus bar is a broadcast (nested-loop on 1 row, "
+            "no shuffle of the domain table)",
+            "Broadcast" in p,
+        )
+    )
+
+    # ---- cohort retention: no third exchange on the activity side --
+    co = qmod.QUERIES["cohort_retention"](spark, "/root/testdata/sf0.001")
+    p = plan_of(co)
+    sections.append(
+        (
+            "Cohort retention (user-keyed join reuses agg partitioning)",
+            p,
+            [
+                "Cohort and activity tables each shuffle ONCE on user_id; "
+                "the join reuses that partitioning (no extra exchange "
+                "between the aggregates and the join), and the final "
+                "matrix aggregation moves weeks² rows.",
+            ],
+        )
+    )
+    user_exchanges = len(
+        [
+            ln
+            for ln in p.splitlines()
+            if "hashpartitioning(user_id" in ln
+        ]
+    )
+    checks.append(
+        (
+            "cohort: exactly two user_id exchanges (one per side), join reuses them",
+            user_exchanges == 2,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -3625,3 +3625,208 @@ def vocab_oov(spark, sf_dir):
             .alias("oov_ppm"),
         )
     )
+
+
+# =====================================================================
+# Bloom-pruned incremental exact dedup: the 100-TB membership pattern
+# (runtime bloom semi-join) with an EXACT final answer the driver's
+# hash gate can certify end-to-end
+# =====================================================================
+BLOOM_M = 1 << 16  # bits in the filter (sized for the test corpora;
+# at 100 TB m is sized per expected corpus cardinality and the bitmap
+# below stays m/64 rows REGARDLESS of corpus size)
+BLOOM_K = 4  # hash functions (seeded xxhash64)
+PFX_WORDS = 5  # membership fingerprint = md5 of the first 5 words —
+# the leading-boilerplate key (stand-in for a canonicalized URL or a
+# whole-text md5; this synthetic corpus has no cross-parity whole-text
+# duplicates, so the prefix key is what yields real membership hits)
+
+
+@q(
+    "bloom_dedup_exact",
+    f"""
+    with f as (
+      select doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:{PFX_WORDS}], ' ')) as fp
+      from documents
+    ),
+    c as (select distinct fp from f where doc_id % 2 = 0)
+    select f.source,
+           cast(count(*) as bigint) as new_docs,
+           cast(count_if(c.fp is not null) as bigint) as dup_of_corpus,
+           cast(count(*) - count_if(c.fp is not null) as bigint) as admitted
+    from f left join c on f.fp = c.fp
+    where f.doc_id % 2 = 1
+    group by f.source
+    """,
+)
+def bloom_dedup_exact(spark, sf_dir):
+    """Incremental EXACT dedup of an arriving batch (odd doc_ids)
+    against the standing corpus (even doc_ids), pruned by a
+    distributed Bloom filter built AS AN AGGREGATION: corpus
+    fingerprints hash to BLOOM_K bit positions (seeded xxhash64),
+    bits pack into 64-bit words via bit_or, and the resulting bitmap
+    table (m/64 rows — constant-size however large the corpus) is
+    BROADCAST to the new batch, which tests membership map-side and
+    only bloom-POSITIVE docs reach the exact-verify join. The final
+    answer is exact (the verify join removes bloom false positives),
+    so the oracle is a plain semi-join — the driver's hash gate
+    certifies the whole bloom path has no false negatives. This is
+    the shape of Spark's own runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), made explicit
+    because the corpus side here is a table, not a join build side.
+    Reference analogue: used-image exclusion keeps a 'seen' set and
+    skips members (question_merger.py:90); at 10^12 keys that set is
+    exactly this sketch."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, PFX_WORDS), " ")
+        ).alias("fp"),
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+
+    def with_bits(df):
+        return (
+            df.select("doc_id", "fp", F.explode(seeds).alias("si"))
+            .withColumn("bit", F.pmod(F.xxhash64("fp", "si"), F.lit(BLOOM_M)))
+            .withColumn("widx", F.expr("int(bit div 64)"))
+            .withColumn("mask", F.expr("shiftleft(1L, int(bit % 64))"))
+        )
+
+    bitmap = with_bits(corpus).groupBy("widx").agg(
+        F.bit_or("mask").alias("word")
+    )
+    positives = (
+        with_bits(new)
+        .join(F.broadcast(bitmap), "widx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("mask").bitwiseAND(F.col("word")) != 0, F.lit(False)),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hit").alias("all_hit"))
+        .filter(F.col("all_hit"))
+        .select("doc_id")
+    )
+    dup_ids = (
+        new.join(positives, "doc_id", "left_semi")  # bloom prune
+        .join(corpus.select("fp").distinct(), "fp", "left_semi")  # exact verify
+        .select("doc_id")
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        new.join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("new_docs"),
+            F.count("dup").cast("long").alias("dup_of_corpus"),
+            (F.count("*") - F.count("dup")).cast("long").alias("admitted"),
+        )
+    )
+
+
+# =====================================================================
+# Domain-level quality gate (RefinedWeb-style): score whole SOURCES,
+# not documents — two-phase agg + broadcast scalar bar
+# =====================================================================
+@q(
+    "domain_quality_gate",
+    """
+    with s as (
+      select source,
+             cast(count(*) as bigint) as docs,
+             cast(sum(n_chars) as bigint) as chars,
+             cast(sum(len(string_split(text, ' '))) as bigint) as words
+      from documents group by source
+    ),
+    g as (select cast((1000 * sum(chars)) // sum(words) as bigint) as bar from s)
+    select s.source, s.docs,
+           cast((1000 * s.chars) // s.words as bigint) as cpw_milli,
+           ((1000 * s.chars) // s.words >= g.bar) as kept
+    from s, g
+    """,
+)
+def domain_quality_gate(spark, sf_dir):
+    """Source-level (domain-level) quality gating, the RefinedWeb /
+    CCNet move of scoring whole domains rather than documents: one
+    pass aggregates per-source totals (map-side combine; the result
+    is domain-cardinality, tiny at any corpus scale), a second
+    one-row aggregate over THAT table computes the corpus-wide bar
+    (mean chars-per-word, in exact integer millis via `div` — no
+    float division to diverge between engines), and the bar is
+    broadcast back as a scalar so the keep/drop flag costs no
+    shuffle. At 100 TB only the first agg touches the corpus; the
+    bar join is domain-table × 1 row."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("words"),
+    )
+    g = s.agg(F.expr("(1000 * sum(chars)) div sum(words)").alias("bar"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "docs",
+        F.expr("(1000 * chars) div words").cast("long").alias("cpw_milli"),
+        F.expr("(1000 * chars) div words >= bar").alias("kept"),
+    )
+
+
+# =====================================================================
+# Cohort retention matrix: first-purchase week x week offset
+# =====================================================================
+_WEEK = "cast(floor(floor(epoch(ts)) / 604800) as bigint)"
+
+
+@q(
+    "cohort_retention",
+    f"""
+    with e as (select user_id, event_type, {_WEEK} as w from events),
+    u as (select user_id, min(w) as cw from e
+          where event_type = 'purchase' group by user_id),
+    a as (select distinct user_id, w from e)
+    select u.cw as cohort_week,
+           cast(a.w - u.cw as bigint) as week_offset,
+           cast(count(distinct a.user_id) as bigint) as active_users
+    from a join u on a.user_id = u.user_id
+    where a.w >= u.cw
+    group by u.cw, a.w - u.cw
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by the week of their
+    FIRST purchase, counted as active in every later week they emit
+    any event — the (cohort_week, week_offset, active_users) matrix
+    every growth dashboard draws. Plan: both the cohort table and
+    the distinct (user, week) activity table shuffle ONCE on
+    user_id, the join reuses that partitioning (no third exchange on
+    the big side), and the final matrix agg is cohort×offset —
+    weeks² rows, trivially small. The cohort table is one row per
+    purchasing user; at 100 TB it broadcast-joins if users fit,
+    else the co-partitioned sort-merge join here is already the
+    right shape."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(_epoch(F.col("ts")) / 604800).cast("long").alias("w"),
+    )
+    cohorts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cw"))
+    )
+    active = e.select("user_id", "w").distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .filter(F.col("w") >= F.col("cw"))
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
