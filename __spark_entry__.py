@@ -511,6 +511,8 @@ _SAMPLE_FIRST = [
     "balance_langs", "dedup_keep_list", "train_order_shards",
     "session_events_native", "length_quantiles_approx", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
+    "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
+    "winsorized_stats",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
@@ -519,13 +521,16 @@ _SAMPLE_FIRST = [
     "minhash128_pairs", "minhash128_full_pairs", "dedup_components",
     "corpus_clean",
     "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5",
-    "skew_salted_stats", "asof_view_before_purchase", "split_train_val",
-    "tfidf_top_terms", "rep_ratios", "pii_scrub_stats",
+    "skew_salted_stats", "asof_view_before_purchase",
     "j4_rank1_assignment",
     # length_quantiles, html_block_classify, media_header_stats moved
     # to the tail for the r4 additions: all three were driver-green in
     # r03 and carry their own pytest coverage (test_html,
-    # test_multimodal_sim; quantiles' approx twin stays sampled)
+    # test_multimodal_sim; quantiles' approx twin stays sampled).
+    # split_train_val, tfidf_top_terms, rep_ratios, pii_scrub_stats
+    # likewise rotated out (r03-green, pytest-covered) to make room
+    # for tfidf_cosine_pairs / jsonl_ingest_stats / scd2_user_state /
+    # winsorized_stats.
 ]
 
 

@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "bloom_dedup_exact",
     "domain_quality_gate",
     "cohort_retention",
+    "tfidf_cosine_pairs",
+    "jsonl_ingest_stats",
+    "scd2_user_state",
+    "winsorized_stats",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -127,3 +127,67 @@ def test_cohort_offset0_equals_cohort_size(spark):
     )
     zero = {r.cohort_week: r.active_users for r in rows if r.week_offset == 0}
     assert zero == sizes
+
+
+def test_tfidf_cosine_pair_invariants(spark):
+    """Pair orientation, the shared-term floor, and Cauchy-Schwarz
+    (cos ≤ 1) must hold for every emitted pair."""
+    rows = q.QUERIES["tfidf_cosine_pairs"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.shared_terms >= 3
+        assert r.dot * r.dot <= r.norm2_a * r.norm2_b * 1.0000001
+        assert 0 <= r.cos_milli <= 1000
+
+
+def test_jsonl_ingest_accounts_for_every_line(spark):
+    """good + corrupt must equal the corpus row count, and the corrupt
+    count must equal exactly the planted torn lines."""
+    rows = q.QUERIES["jsonl_ingest_stats"](spark, SF).collect()
+    d = q.t(spark, SF, "documents")
+    total = d.count()
+    planted = d.filter(F.col("doc_id") % q.CORRUPT_EVERY == 0).count()
+    corrupt = sum(r.n_good for r in rows if r.source == "__corrupt__")
+    good = sum(r.n_good for r in rows if r.source != "__corrupt__")
+    assert corrupt == planted
+    assert good + corrupt == total
+    assert all(
+        r.chars_good > 0 for r in rows if r.source != "__corrupt__"
+    )  # text round-tripped
+
+
+def test_scd2_ranges_tile_without_overlap(spark):
+    """Per user: versions are 1..n, each valid_to equals the next
+    valid_from (half-open tiling), exactly one open episode, and no
+    two consecutive episodes share a state."""
+    rows = q.QUERIES["scd2_user_state"](spark, SF).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for eps in by_user.values():
+        eps.sort(key=lambda r: r.version)
+        assert [e.version for e in eps] == list(range(1, len(eps) + 1))
+        assert sum(1 for e in eps if e.valid_to is None) == 1
+        for prev, nxt in zip(eps, eps[1:]):
+            assert prev.valid_to == nxt.valid_from
+            assert prev.state != nxt.state
+
+
+def test_winsorized_bounds_clamp_the_mean(spark):
+    rows = q.QUERIES["winsorized_stats"](spark, SF).collect()
+    assert rows
+    raw = {
+        r.source: r
+        for r in q.t(spark, SF, "documents")
+        .groupBy("source")
+        .agg(
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert raw[r.source].mn <= r.lo <= r.hi <= raw[r.source].mx
+        assert r.lo * 1000 <= r.wins_mean_milli <= r.hi * 1000

@@ -499,6 +499,64 @@ def main() -> None:
         )
     )
 
+    # ---- tfidf cosine pairs: inverted-index equi-join, no product --
+    tc = qmod.QUERIES["tfidf_cosine_pairs"](spark, "/root/testdata/sf0.001")
+    p = plan_of(tc)
+    sections.append(
+        (
+            "Sparse tf-idf pair similarity (posting-list equi-join)",
+            p,
+            [
+                "Doc pairs are generated ONLY by the term-bucket "
+                "equi-join over df-capped posting lists — no cartesian/"
+                "theta join anywhere; dot products and norms are exact "
+                "integer aggregates.",
+            ],
+        )
+    )
+    import re as _re
+
+    checks.append(
+        (
+            "tfidf cosine: pair space is the term equi-join — no cartesian; "
+            "the only nested-loop nodes are the 1-row N broadcast (one per "
+            "self-join side)",
+            "CartesianProduct" not in p
+            and len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, _re.M))
+            <= 2,
+        )
+    )
+
+    # ---- winsorized stats: bounds broadcast back for the clamp -----
+    ws = qmod.QUERIES["winsorized_stats"](spark, "/root/testdata/sf0.001")
+    p = plan_of(ws)
+    checks.append(
+        (
+            "winsorize: bounds table joins back as a BroadcastHashJoin "
+            "(row side never re-shuffles for the clamp)",
+            "BroadcastHashJoin" in p,
+        )
+    )
+
+    # ---- scd2: all three windows share one user_id exchange --------
+    sc2 = qmod.QUERIES["scd2_user_state"](spark, "/root/testdata/sf0.001")
+    p = plan_of(sc2)
+    checks.append(
+        (
+            "scd2: single user_id exchange feeds lag filter + lead/"
+            "row_number (no join, no second shuffle)",
+            len(
+                [
+                    ln
+                    for ln in p.splitlines()
+                    if "hashpartitioning(user_id" in ln
+                ]
+            )
+            == 1
+            and "Join" not in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -64,3 +64,23 @@ def materialize(
         build().write.mode("overwrite").parquet(p)
         _written.add(p)
     return spark.read.parquet(p)
+
+
+def materialize_text(
+    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+) -> str:
+    """Same freshness/cross-scale contract as :func:`materialize`, but
+    the target is a TEXT directory (one record per line — the JSONL
+    ingestion fixture). Returns the path; callers choose their own
+    reader (``spark.read.json`` with a schema, DuckDB ``read_csv``)
+    because the point of the fixture is exercising readers."""
+    p = path(sf_dir, name)
+    if p not in _written:
+        op = path(ORACLE_SF, name)
+        if p != op and op not in _written:
+            import shutil
+
+            shutil.rmtree(op, ignore_errors=True)
+        build().write.mode("overwrite").text(p)
+        _written.add(p)
+    return p

@@ -3830,3 +3830,400 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
     )
+
+
+# =====================================================================
+# Sparse TF-IDF document-pair similarity: the inverted-index pairwise
+# kernel (term-bucket equi-join, never all-pairs), with an
+# integer-exact contract
+# =====================================================================
+COS_DF_MAX = 40  # posting-list cap: a term in more than this many
+# docs is a stop-term for pairing (quadratic bucket guard — the same
+# role fingerprint.py's df cap plays for winnowing buckets)
+
+
+@q(
+    "tfidf_cosine_pairs",
+    f"""
+    with tok as (
+      select doc_id, lower(words[i] || ' ' || words[i+1]) as term
+      from (
+        select doc_id, string_split(text, ' ') as words
+        from documents where doc_id % 5 = 0
+      ), lateral (select unnest(generate_series(1, len(words)-1)) as i)
+      where len(words) >= 2
+    ),
+    tf as (
+      select doc_id, term, cast(count(*) as bigint) as tf
+      from tok group by doc_id, term
+    ),
+    df as (
+      select term, cast(count(distinct doc_id) as bigint) as df
+      from tf group by term
+    ),
+    n as (select cast(count(*) as bigint) as n from documents where doc_id % 5 = 0),
+    w as (
+      select tf.doc_id, tf.term,
+             cast((tf.tf * 100 * n.n) // df.df as bigint) as w
+      from tf join df using (term) cross join n
+      where df.df between 2 and {COS_DF_MAX}
+    ),
+    wn as (
+      select doc_id, term, w,
+             cast(sum(w * w) over (partition by doc_id) as bigint) as norm2
+      from w
+    ),
+    dots as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as shared_terms,
+             cast(sum(a.w * b.w) as bigint) as dot,
+             cast(max(a.norm2) as bigint) as norm2_a,
+             cast(max(b.norm2) as bigint) as norm2_b
+      from wn a join wn b on a.term = b.term and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+      having count(*) >= 3
+    )
+    select doc_a, doc_b, shared_terms, dot, norm2_a, norm2_b,
+           cast(floor(dot / sqrt(cast(norm2_a as double) * cast(norm2_b as double)) * 1000) as bigint) as cos_milli
+    from dots
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Pairwise document similarity over SPARSE tf-idf vectors via the
+    inverted index: the term unit is the word BIGRAM (unigrams are
+    non-discriminative on this synthetic vocab — 30 distinct words,
+    each in ~78% of docs; bigrams give a 900-term Zipf-ish vocabulary),
+    weights live in (doc, term, w) posting lists, the
+    pair space is generated by a term-bucket self-equi-join (only docs
+    sharing a term ever meet — never an all-pairs product), and a
+    posting-list cap (df ≤ COS_DF_MAX) bounds every bucket, so the
+    worst-case join fan-out per term is COS_DF_MAX², independent of
+    corpus size — the same guard the winnowing index uses
+    (fingerprint.py df cap). The contract is integer-exact end to end:
+    weights are floor(tf·100·N/df) bigints, dot products and norms are
+    exact integer sums, and the only float — cos_milli — is a single
+    three-scalar expression floor(dot/sqrt(na·nb)·1000) with no
+    float-sum ordering anywhere (IEEE sqrt/div are correctly rounded,
+    so both engines floor the same double). The doc_id%5 slice keeps
+    the driver compare fast; the shape is corpus-size-free.
+    Reference analogue: pairwise span similarity for duplicate
+    questions (question_merger.py:568-609 md5 keying is the exact-dup
+    arm; this is the graded-similarity arm)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tok = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words)-1), i ->"
+                    " lower(concat(element_at(words, i), ' ',"
+                    " element_at(words, i+1))))"
+                )
+            ).alias("term"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_df = F.broadcast(d.agg(F.count("*").cast("long").alias("n_docs")))
+    w = (
+        tf.join(df_.filter((F.col("df") >= 2) & (F.col("df") <= COS_DF_MAX)), "term")
+        .crossJoin(n_df)
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(tf * 100L * n_docs) div df").cast("long").alias("w"),
+        )
+    )
+    # norm2 rides ON the posting rows (doc-keyed window) so the term
+    # self-join carries both norms along and the posting subtree is
+    # referenced exactly twice (the self-join sides) — a norm-table
+    # formulation would re-derive it four times
+    wn = w.withColumn(
+        "norm2",
+        F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("long"),
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+            F.max("a.norm2").cast("long").alias("norm2_a"),
+            F.max("b.norm2").cast("long").alias("norm2_b"),
+        )
+        .filter(F.col("shared_terms") >= 3)
+    )
+    return dots.select(
+        "doc_a",
+        "doc_b",
+        "shared_terms",
+        "dot",
+        "norm2_a",
+        "norm2_b",
+        F.floor(
+            F.col("dot")
+            / F.sqrt(F.col("norm2_a").cast("double") * F.col("norm2_b"))
+            * 1000
+        )
+        .cast("long")
+        .alias("cos_milli"),
+    )
+
+
+# =====================================================================
+# Robust JSONL ingestion with corrupt-record accounting: the
+# PERMISSIVE-reader contract a web-scale crawler feed needs
+# =====================================================================
+CORRUPT_EVERY = 37  # doc_id % CORRUPT_EVERY == 0 lines are truncated
+
+
+@q(
+    "jsonl_ingest_stats",
+    f"""
+    select source,
+           cast(count(*) as bigint) as n_good,
+           cast(sum(length(text)) as bigint) as chars_good
+    from documents where doc_id % {CORRUPT_EVERY} <> 0
+    group by source
+    union all
+    select '__corrupt__' as source,
+           cast(count(*) as bigint) as n_good,
+           cast(0 as bigint) as chars_good
+    from documents where doc_id % {CORRUPT_EVERY} = 0
+    """,
+)
+def jsonl_ingest_stats(spark, sf_dir):
+    """End-to-end JSONL ingestion robustness: the corpus is serialized
+    to a JSON-lines text fixture with every CORRUPT_EVERY-th line
+    deterministically truncated mid-record (the torn-write / bad-crawl
+    case), read back through Spark's schema'd PERMISSIVE JSON reader
+    with a columnNameOfCorruptRecord accumulator, and reduced to
+    per-source admitted counts + round-tripped text length, with torn
+    lines quarantined under '__corrupt__'. The DuckDB oracle derives
+    the same accounting INDEPENDENTLY from the parquet table (it never
+    sees the fixture), so a green row certifies the whole loop:
+    JSON-escape → line write → malformed-record isolation → field
+    round-trip (chars_good only matches if every parsed text survives
+    byte-exactly). Scale shape: the reader is a line-splittable text
+    scan (parallel at any size); the agg is source-cardinality.
+    Corrupt rows carry partially-parsed fields in PERMISSIVE mode, so
+    quarantine keys on the _corrupt column, never on field nullness.
+    Reference analogue: ingest.load_result_json tolerates the
+    reference's envelope variants (ocr_result_process.py:34-77); this
+    is the same robustness contract at the line level."""
+    from . import mat
+
+    def build():
+        d = t(spark, sf_dir, "documents")
+        line = F.to_json(F.struct("doc_id", "source", "lang", "n_chars", "text"))
+        return d.select(
+            F.when(
+                F.col("doc_id") % CORRUPT_EVERY == 0,
+                F.expr(
+                    "substring(to_json(struct(doc_id, source, lang, n_chars,"
+                    " text)), 1, length(to_json(struct(doc_id, source, lang,"
+                    " n_chars, text))) - 5)"
+                ),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+
+    p = mat.materialize_text(spark, sf_dir, "docs_jsonl", build)
+    parsed = (
+        spark.read.schema(
+            "doc_id long, source string, lang string, n_chars long,"
+            " text string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(p)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt").isNotNull(), "__corrupt__")
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("_corrupt").isNotNull(), F.lit(0))
+            .otherwise(F.length("text"))
+            .cast("long")
+            .alias("chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_good"),
+            F.sum("chars").cast("long").alias("chars_good"),
+        )
+    )
+
+
+# =====================================================================
+# CDC compaction to SCD2 effective ranges: event stream → slowly-
+# changing-dimension history table (one row per state episode)
+# =====================================================================
+@q(
+    "scd2_user_state",
+    """
+    with e as (
+      select user_id, event_id, event_type, cast(floor(epoch(ts)) as bigint) as ts_s
+      from events where user_id % 10 = 0
+    ),
+    c as (
+      select *, lag(event_type) over (
+        partition by user_id order by ts_s, event_id
+      ) as prev
+      from e
+    ),
+    episodes as (
+      select user_id, event_type as state, ts_s as valid_from
+      from c where prev is null or prev <> event_type
+    )
+    select user_id, state,
+           cast(row_number() over (
+             partition by user_id order by valid_from
+           ) as bigint) as version,
+           valid_from,
+           lead(valid_from) over (
+             partition by user_id order by valid_from
+           ) as valid_to
+    from episodes
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """Change-data-capture compaction: an append-only event stream is
+    compacted into an SCD-type-2 history table — one row per state
+    EPISODE with [valid_from, valid_to) effective ranges (open episode
+    → null valid_to) and a per-entity version counter. Runs of equal
+    consecutive states collapse via the lag-inequality predicate; the
+    range close is a lead over the surviving episode rows. All three
+    windows share the user_id partitioning key, so the whole compaction
+    costs ONE shuffle — the episode filter and the lead/row_number run
+    on the already-exchanged partitions (audit-asserted). At 10^12
+    events this is the standard log→dimension distillation: state
+    per-key is bounded by episode count, never raw event count, and no
+    join ever forms. The user_id%10 slice keeps the driver compare
+    small; ties break on event_id so both engines see one total order.
+    Reference analogue: per-conversation turn ordering before span
+    merge (the north rule's window-over-(conv_id, turn_idx) invariant)
+    — here the ordered-run compaction is the product, not a stage."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0).select(
+        "user_id", "event_id", "event_type", _epoch(F.col("ts")).alias("ts_s")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    episodes = (
+        e.withColumn("prev", F.lag("event_type").over(w_ord))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_s").alias("valid_from"),
+        )
+    )
+    w_ep = Window.partitionBy("user_id").orderBy("valid_from")
+    return episodes.select(
+        "user_id",
+        "state",
+        F.row_number().over(w_ep).cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(w_ep).alias("valid_to"),
+    )
+
+
+# =====================================================================
+# Winsorized (outlier-trimmed) per-group statistics: exact integer-
+# rank bounds, broadcast back for the clamp — robust stats at scale
+# =====================================================================
+@q(
+    "winsorized_stats",
+    """
+    with r as (
+      select source, doc_id, n_chars,
+             row_number() over (
+               partition by source order by n_chars, doc_id
+             ) as rn,
+             count(*) over (partition by source) as cnt
+      from documents
+    ),
+    b as (
+      select source,
+             cast(max(cnt) as bigint) as cnt,
+             cast(max(case when rn = (5 * cnt) // 100 + 1 then n_chars end)
+                  as bigint) as lo,
+             cast(max(case when rn = cnt - (5 * cnt) // 100 then n_chars end)
+                  as bigint) as hi
+      from r group by source
+    )
+    select r.source, b.cnt, b.lo, b.hi,
+           cast(sum(least(greatest(r.n_chars, b.lo), b.hi)) as bigint)
+             as wins_sum,
+           cast((1000 * sum(least(greatest(r.n_chars, b.lo), b.hi))) // max(b.cnt)
+             as bigint) as wins_mean_milli
+    from r join b on r.source = b.source
+    group by r.source, b.cnt, b.lo, b.hi
+    """,
+)
+def winsorized_stats(spark, sf_dir):
+    """Per-source winsorized mean of document length — the robust
+    aggregate a quality dashboard wants when a handful of megadocs
+    would otherwise own the mean. Bounds are EXACT integer ranks (the
+    5th/95th-percentile order statistics at positions (5·cnt) div 100
+    + 1 and cnt − (5·cnt) div 100 under a (value, doc_id) total order
+    — pure integer index math, no float quantile definition to
+    diverge between engines); values clamp to [lo, hi] and the mean
+    is integer millis. Plan: ONE shuffle ranks each source partition,
+    the bounds table collapses to source-cardinality rows and
+    broadcast-joins back for the clamp (audit-asserted — the big side
+    never re-shuffles for the join), and the final agg reuses the
+    source key. At 100 TB the rank window is the only corpus-sized
+    stage; swap it for approx_percentile when exactness can relax —
+    the documented twin discipline length_quantiles set."""
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("cnt"),
+    )
+    b = r.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("cnt"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * cnt) div 100") + 1, F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.col("cnt") - F.expr("(5 * cnt) div 100"),
+                F.col("n_chars"),
+            )
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = r.select("source", "n_chars").join(F.broadcast(b), "source").select(
+        "source",
+        "cnt",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+    )
+    return clamped.groupBy("source", "cnt", "lo", "hi").agg(
+        F.sum("wv").cast("long").alias("wins_sum"),
+        F.expr("(1000 * sum(wv)) div max(cnt)").cast("long").alias(
+            "wins_mean_milli"
+        ),
+    )
