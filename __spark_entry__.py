@@ -512,25 +512,28 @@ _SAMPLE_FIRST = [
     "session_events_native", "length_quantiles_approx", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
-    "winsorized_stats",
+    "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
+    "word_pmi", "outlier_3sigma",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
-    "minhash128_pairs", "minhash128_full_pairs", "dedup_components",
-    "corpus_clean",
-    "emb_cosine_top5", "ann_lsh_top5", "ann_ivf_top5",
-    "skew_salted_stats", "asof_view_before_purchase",
+    "minhash128_pairs", "dedup_components",
+    "corpus_clean", "ann_lsh_top5",
+    "skew_salted_stats",
     "j4_rank1_assignment",
     # length_quantiles, html_block_classify, media_header_stats moved
     # to the tail for the r4 additions: all three were driver-green in
     # r03 and carry their own pytest coverage (test_html,
     # test_multimodal_sim; quantiles' approx twin stays sampled).
-    # split_train_val, tfidf_top_terms, rep_ratios, pii_scrub_stats
-    # likewise rotated out (r03-green, pytest-covered) to make room
-    # for tfidf_cosine_pairs / jsonl_ingest_stats / scd2_user_state /
-    # winsorized_stats.
+    # split_train_val, tfidf_top_terms, rep_ratios, pii_scrub_stats,
+    # minhash128_full_pairs, emb_cosine_top5, ann_ivf_top5,
+    # asof_view_before_purchase likewise
+    # rotated out (all r03-green with their own pytest coverage;
+    # longdoc_dedup keeps the full-text kernel sampled and ann_lsh
+    # keeps the ANN path sampled) to make room for the seven r4
+    # additions above.
 ]
 
 

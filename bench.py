@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "jsonl_ingest_stats",
     "scd2_user_state",
     "winsorized_stats",
+    "peak_concurrency",
+    "fk_orphan_audit",
+    "word_pmi",
+    "outlier_3sigma",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

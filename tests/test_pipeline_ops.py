@@ -191,3 +191,84 @@ def test_winsorized_bounds_clamp_the_mean(spark):
     for r in rows:
         assert raw[r.source].mn <= r.lo <= r.hi <= raw[r.source].mx
         assert r.lo * 1000 <= r.wins_mean_milli <= r.hi * 1000
+
+
+def test_peak_concurrency_matches_naive_overlap(spark):
+    """The sweep-line peak must equal the naive per-instant maximum
+    computed by brute force on the driver (small slice)."""
+    rows = {
+        r.event_type: (r.peak, r.first_peak_t)
+        for r in q.QUERIES["peak_concurrency"](spark, SF).collect()
+    }
+    evs = (
+        q.t(spark, SF, "events")
+        .select("event_type", F.col("ts").cast("timestamp").cast("long").alias("t"))
+        .collect()
+    )
+    by_type = {}
+    for r in evs:
+        by_type.setdefault(r.event_type, []).append(r.t)
+    for et, starts in by_type.items():
+        deltas = sorted(
+            [(t, 1) for t in starts] + [(t + q.SESS_LEN_S, -1) for t in starts],
+            key=lambda x: (x[0], x[1]),
+        )
+        # peers-inclusive: group equal (t, delta) keys together
+        live, best, best_t = 0, -1, None
+        i = 0
+        while i < len(deltas):
+            j = i
+            while j < len(deltas) and deltas[j][:2] == deltas[i][:2]:
+                j += 1
+            live += sum(d for _, d in deltas[i:j])
+            if live > best:
+                best, best_t = live, deltas[i][0]
+            i = j
+        assert rows[et] == (best, best_t), et
+
+
+def test_fk_audit_clean_generator_has_no_orphans(spark):
+    rows = q.QUERIES["fk_orphan_audit"](spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.orphans == 0, r.relation
+        assert 0 < r.distinct_keys <= r.total_rows
+
+
+def test_word_pmi_symmetric_definition(spark):
+    """Pair counts must never exceed either unigram count, and the
+    ratio must match the integer formula recomputed from the row."""
+    rows = q.QUERIES["word_pmi"](spark, SF).collect()
+    assert rows
+    n_docs = q.t(spark, SF, "documents").count()
+    for r in rows:
+        assert r.word_a < r.word_b
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.pmi_ratio_e6 == (r.n_ab * n_docs * 1000000) // (r.n_a * r.n_b)
+
+
+def test_outlier_3sigma_matches_float_reference(spark):
+    """The integer cross-multiplied test must agree with the plain
+    float mean/std definition (strict inequality, population sigma)."""
+    import math
+
+    got = {r.event_id for r in q.QUERIES["outlier_3sigma"](spark, SF).collect()}
+    evs = (
+        q.t(spark, SF, "events")
+        .select("event_id", "event_type", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    by_type = {}
+    for r in evs:
+        by_type.setdefault(r.event_type, []).append((r.event_id, r.v))
+    exp = set()
+    for vs in by_type.values():
+        xs = [v for _, v in vs]
+        c = len(xs)
+        mu = sum(xs) / c
+        var = sum((x - mu) ** 2 for x in xs) / c
+        sd = math.sqrt(var)
+        for eid, v in vs:
+            if abs(v - mu) > 3 * sd + 1e-9:
+                exp.add(eid)
+    assert got == exp

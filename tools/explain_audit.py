@@ -557,6 +557,48 @@ def main() -> None:
         )
     )
 
+    # ---- peak concurrency: sweep-line, no interval join ------------
+    pc = qmod.QUERIES["peak_concurrency"](spark, "/root/testdata/sf0.001")
+    p = plan_of(pc)
+    checks.append(
+        (
+            "peak concurrency: sweep-line plan has no join at all "
+            "(the naive form is an interval self-join)",
+            "Join" not in p,
+        )
+    )
+
+    # ---- fk audit: fact scans prune to the FK column ---------------
+    fk = qmod.QUERIES["fk_orphan_audit"](spark, "/root/testdata/sf0.001")
+    p = plan_of(fk)
+    checks.append(
+        (
+            "fk audit: anti-joins are broadcast; no payload columns in "
+            "lineitem scans (ReadSchema carries only keys)",
+            "BroadcastHashJoin LeftAnti" in p.replace("  ", " ")
+            or "LeftAnti BuildRight" in p,
+        )
+    )
+    checks.append(
+        (
+            "fk audit: lineitem scan prunes payload (no l_comment/"
+            "l_extendedprice in any ReadSchema)",
+            "l_comment" not in p and "l_extendedprice" not in p,
+        )
+    )
+
+    # ---- outlier flags: stats broadcast, fact side never shuffles --
+    ol = qmod.QUERIES["outlier_3sigma"](spark, "/root/testdata/sf0.001")
+    p = plan_of(ol)
+    checks.append(
+        (
+            "outlier 3sigma: group moments broadcast back "
+            "(BroadcastHashJoin; the event scan side has no Exchange "
+            "before the flag filter)",
+            "BroadcastHashJoin" in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -4227,3 +4227,323 @@ def winsorized_stats(spark, sf_dir):
             "wins_mean_milli"
         ),
     )
+
+
+# =====================================================================
+# Sweep-line peak concurrency: interval overlap maximum WITHOUT an
+# interval join — +1/-1 deltas and a peers-inclusive running sum
+# =====================================================================
+SESS_LEN_S = 1800  # each event opens a 30-min active interval
+
+
+@q(
+    "peak_concurrency",
+    f"""
+    with deltas as (
+      select event_type, cast(floor(epoch(ts)) as bigint) as t,
+             cast(1 as bigint) as delta
+      from events
+      union all
+      select event_type, cast(floor(epoch(ts)) as bigint) + {SESS_LEN_S},
+             cast(-1 as bigint)
+      from events
+    ),
+    run as (
+      select event_type, t, delta,
+             sum(delta) over (
+               partition by event_type order by t, delta
+             ) as live
+      from deltas
+    ),
+    pk as (
+      select event_type, cast(max(live) as bigint) as peak
+      from run group by event_type
+    )
+    select r.event_type, pk.peak,
+           cast(min(case when r.live = pk.peak then r.t end) as bigint)
+             as first_peak_t
+    from run r join pk using (event_type)
+    group by r.event_type, pk.peak
+    """,
+)
+def peak_concurrency(spark, sf_dir):
+    """Peak concurrent active sessions per event type by SWEEP-LINE:
+    each event contributes a +1 delta at its timestamp and a -1 at
+    timestamp+SESS_LEN, and the live count is a running sum over the
+    per-type time order — no interval self-join (the naive overlap
+    join is O(n·k) pairs; the sweep is O(n log n) in one key shuffle).
+    Determinism under ties: the window's DEFAULT frame (RANGE
+    UNBOUNDED PRECEDING → CURRENT ROW) is peers-inclusive, so rows
+    equal on (t, delta) take one collective sum in both engines, and
+    delta ascending applies closes before opens at equal t (touching
+    intervals never count as concurrent). Output is the peak and the
+    first instant it is reached. At 10^12 events this is the standard
+    concurrency/occupancy analysis: per-key windows shuffle once;
+    no state beyond the running sum."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", _epoch(F.col("ts")).alias("t")
+    )
+    deltas = e.select(
+        "event_type", "t", F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        e.select(
+            "event_type",
+            (F.col("t") + SESS_LEN_S).alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = deltas.withColumn("live", F.sum("delta").over(w))
+    peak = run.withColumn(
+        "m", F.max("live").over(Window.partitionBy("event_type"))
+    )
+    return peak.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("peak"),
+        F.min(F.when(F.col("live") == F.col("m"), F.col("t")))
+        .cast("long")
+        .alias("first_peak_t"),
+    )
+
+
+# =====================================================================
+# Referential-conformance audit: FK orphan counts across the star
+# schema in one report (anti-join per relation, dims broadcast)
+# =====================================================================
+@q(
+    "fk_orphan_audit",
+    """
+    select 'orders.o_custkey->customer' as relation,
+           cast((select count(*) from orders) as bigint) as total_rows,
+           cast((select count(*) from orders o
+                 where not exists (select 1 from customer c
+                                   where c.c_custkey = o.o_custkey)) as bigint)
+             as orphans,
+           cast((select count(distinct o_custkey) from orders) as bigint)
+             as distinct_keys
+    union all
+    select 'lineitem.l_orderkey->orders',
+           cast((select count(*) from lineitem) as bigint),
+           cast((select count(*) from lineitem l
+                 where not exists (select 1 from orders o
+                                   where o.o_orderkey = l.l_orderkey)) as bigint),
+           cast((select count(distinct l_orderkey) from lineitem) as bigint)
+    union all
+    select 'lineitem.l_partkey->part',
+           cast((select count(*) from lineitem) as bigint),
+           cast((select count(*) from lineitem l
+                 where not exists (select 1 from part p
+                                   where p.p_partkey = l.l_partkey)) as bigint),
+           cast((select count(distinct l_partkey) from lineitem) as bigint)
+    union all
+    select 'customer.c_nationkey->nation',
+           cast((select count(*) from customer) as bigint),
+           cast((select count(*) from customer c
+                 where not exists (select 1 from nation n
+                                   where n.n_nationkey = c.c_nationkey)) as bigint),
+           cast((select count(distinct c_nationkey) from customer) as bigint)
+    """,
+)
+def fk_orphan_audit(spark, sf_dir):
+    """Data-conformance audit: foreign-key orphan counts for every
+    edge of the star schema in ONE report — the pre-flight check any
+    warehouse load runs before joins are trusted (an orphan row
+    silently vanishes from inner joins downstream). Each relation is
+    a left-anti join against the referenced key set; parent key sides
+    are dimension- or key-projection-sized and broadcast where small,
+    and each fact table is scanned with only its FK column (column
+    pruning — the audit never reads payload columns). Zero orphans is
+    the expected PASS state on this generator; the row exists so a
+    corrupted load shows up as a nonzero cell, not as silently
+    shrunken joins. Reference analogue: used-image/unassigned-content
+    repair keys on exactly this orphan set (question_merger.py
+    unassigned repair; SURVEY §2 J7)."""
+
+    def audit(fact, fk, parent, pk, label):
+        keys = parent.select(pk).distinct()
+        return (
+            fact.select(F.col(fk).alias("k"))
+            .join(F.broadcast(keys.withColumnRenamed(pk, "k")), "k", "left_anti")
+            .agg(F.count("*").cast("long").alias("orphans"))
+            .crossJoin(
+                F.broadcast(
+                    fact.agg(
+                        F.count("*").cast("long").alias("total_rows"),
+                        F.countDistinct(fk).cast("long").alias("distinct_keys"),
+                    )
+                )
+            )
+            .select(
+                F.lit(label).alias("relation"),
+                "total_rows",
+                "orphans",
+                "distinct_keys",
+            )
+        )
+
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        audit(orders, "o_custkey", customer, "c_custkey",
+              "orders.o_custkey->customer")
+        .unionByName(
+            audit(lineitem, "l_orderkey", orders, "o_orderkey",
+                  "lineitem.l_orderkey->orders")
+        )
+        .unionByName(
+            audit(lineitem, "l_partkey", part, "p_partkey",
+                  "lineitem.l_partkey->part")
+        )
+        .unionByName(
+            audit(customer, "c_nationkey", nation, "n_nationkey",
+                  "customer.c_nationkey->nation")
+        )
+    )
+
+
+# =====================================================================
+# Word co-occurrence association (PMI): corpus statistics in exact
+# integer arithmetic over the distinct-word/doc incidence table
+# =====================================================================
+PMI_MIN_CO = 5  # minimum co-occurring docs for a pair to be reported
+
+
+@q(
+    "word_pmi",
+    f"""
+    with wd as (
+      select distinct doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{{3,}}')) as word
+      from documents
+    ),
+    wc as (select word, cast(count(*) as bigint) as n from wd group by word),
+    n as (select cast(count(*) as bigint) as n_docs from documents),
+    co as (
+      select a.word as word_a, b.word as word_b,
+             cast(count(*) as bigint) as n_ab
+      from wd a join wd b on a.doc_id = b.doc_id and a.word < b.word
+      group by a.word, b.word
+      having count(*) >= {PMI_MIN_CO}
+    )
+    select co.word_a, co.word_b, co.n_ab,
+           ca.n as n_a, cb.n as n_b,
+           cast((co.n_ab * n.n_docs * 1000000) // (ca.n * cb.n) as bigint)
+             as pmi_ratio_e6
+    from co
+    join wc ca on co.word_a = ca.word
+    join wc cb on co.word_b = cb.word
+    cross join n
+    """,
+)
+def word_pmi(spark, sf_dir):
+    """Pointwise-mutual-information-style association scores for word
+    pairs: ratio = P(a,b)/(P(a)P(b)) over document incidence, held in
+    exact integer micros — floor(n_ab·N·1e6 / (n_a·n_b)) — so both
+    engines rank associations on identical arithmetic (log-PMI in
+    doubles diverges at libm boundaries; the log is monotone, so the
+    ratio carries the same ordering). The pair space is the per-doc
+    self-join over DISTINCT (doc, word) incidences — fan-out per doc
+    is bounded by the vocabulary (30 unigrams here; at web scale the
+    incidence table is pruned to a df-band first, the same posting-cap
+    discipline as tfidf_cosine_pairs). Unigram counts join back as
+    broadcast-able vocab-sized tables. This is the association-mining
+    kernel (FP-growth's first pass) every corpus-statistics suite
+    ships."""
+    d = t(spark, sf_dir, "documents")
+    wd = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), 0)
+        ).alias("word"),
+    ).distinct()
+    wc = wd.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    n_df = F.broadcast(d.agg(F.count("*").cast("long").alias("n_docs")))
+    a, b = wd.alias("a"), wd.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_CO)
+    )
+    ca = F.broadcast(wc.select(F.col("word").alias("word_a"), F.col("n").alias("n_a")))
+    cb = F.broadcast(wc.select(F.col("word").alias("word_b"), F.col("n").alias("n_b")))
+    return (
+        co.join(ca, "word_a")
+        .join(cb, "word_b")
+        .crossJoin(n_df)
+        .select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_docs * 1000000L) div (n_a * n_b)")
+            .cast("long")
+            .alias("pmi_ratio_e6"),
+        )
+    )
+
+
+# =====================================================================
+# Exact integer 3-sigma outlier detection: cross-multiplied variance
+# (no sqrt, no float moments) — broadcast group stats, map-side flag
+# =====================================================================
+@q(
+    "outlier_3sigma",
+    """
+    with e as (
+      select event_id, event_type, cast(floor(value) as bigint) as v_units
+      from events
+    ),
+    s as (
+      select event_type,
+             cast(count(*) as bigint) as c,
+             cast(sum(v_units) as bigint) as s,
+             cast(sum(v_units * v_units) as bigint) as ss
+      from e group by event_type
+    )
+    select e.event_id, e.event_type, e.v_units
+    from e join s using (event_type)
+    where (s.c * e.v_units - s.s) * (s.c * e.v_units - s.s)
+          > 9 * (s.c * s.ss - s.s * s.s)
+    """,
+)
+def outlier_3sigma(spark, sf_dir):
+    """Per-group 3σ outlier flags with EXACT integer arithmetic: the
+    test |x−μ| > 3σ is cross-multiplied into (c·x−s)² > 9(c·ss−s²)
+    (μ=s/c, σ²=(c·ss−s²)/c²), so there is no float mean, no float
+    variance accumulation order, and no sqrt — both engines evaluate
+    identical int64 expressions (μ/σ in doubles can flip a borderline
+    flag between engines; an exact inequality cannot). Plan: one
+    map-side-combinable moments agg produces a group-cardinality stats
+    table that BROADCASTS back, so flagging is map-side over the fact
+    scan — the corpus never shuffles. Value domain is floored to whole
+    units to keep every product within int64 through sf1-scale group
+    counts (bound documented: c·ss ≤ 9e17 at c≈9e5, v≤1e3); beyond
+    that, flip to per-partition compensated double moments — the
+    documented swap point, same discipline as table_profile's HLL
+    twin."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor("value").cast("long").alias("v_units"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("v_units").cast("long").alias("s"),
+        F.sum(F.col("v_units") * F.col("v_units")).cast("long").alias("ss"),
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(
+            (F.col("c") * F.col("v_units") - F.col("s"))
+            * (F.col("c") * F.col("v_units") - F.col("s"))
+            > 9 * (F.col("c") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+        .select("event_id", "event_type", "v_units")
+    )
