@@ -474,6 +474,52 @@ def _extraction_queries() -> dict[str, Callable]:
             "purchase_id", "user_id", "view_id", "gap_s"
         )
 
+    def x_stream_enrich(spark, sf_dir):
+        """Stream-static broadcast enrichment
+        (streaming.enrich_with_type_stats) on the driver's hash gate:
+        events replay as a file stream, join a BATCH-computed per-type
+        average dimension (integer cents, map-side broadcast — no
+        state store, no watermark), and the drained output must equal
+        DuckDB's batch join over the same rows. Complements
+        x_stream_join (stateful symmetric-hash) with the stateless
+        lookup arm of the streaming join family."""
+        import os
+        import shutil
+
+        from xtract import mat, streaming
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = mat.materialize(
+            spark,
+            sf_dir,
+            "events_src",
+            lambda: spark.read.parquet(f"{sf_dir}/events.parquet"),
+        )
+        stats = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.expr("sum(floor(value * 100)) div count(*)")
+                .cast("long")
+                .alias("type_avg_cents")
+            )
+        )
+        base = mat.path(sf_dir, "stream_enrich_run")
+        shutil.rmtree(base, ignore_errors=True)
+        streaming.run_to_parquet(
+            streaming.enrich_with_type_stats(
+                spark.readStream.schema(ev.schema).parquet(
+                    mat.path(sf_dir, "events_src")
+                ),
+                stats,
+            ),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        return spark.read.parquet(os.path.join(base, "out")).select(
+            "event_id", "event_type", "v_cents", "type_avg_cents", "above_avg"
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -488,6 +534,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_dup_spans": x_dup_spans,
         "x_rank1_divergence": x_rank1_divergence,
         "x_stream_join": x_stream_join,
+        "x_stream_enrich": x_stream_enrich,
     }
 
 
@@ -505,6 +552,7 @@ _SAMPLE_FIRST = [
     "x_exam_info", "x_analyze_groups", "x_pdf_extract", "x_assemble",
     "x_assemble_sparse", "x_assemble_stream", "x_assemble_unordered",
     "x_dup_spans", "x_rank1_divergence", "x_stream_join",
+    "x_stream_enrich",
     # new/changed this round
     "longdoc_dedup", "table_profile", "table_profile_approx",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -513,14 +561,14 @@ _SAMPLE_FIRST = [
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
-    "word_pmi", "outlier_3sigma",
+    "word_pmi", "outlier_3sigma", "snapshot_diff",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
-    "minhash128_pairs", "dedup_components",
-    "corpus_clean", "ann_lsh_top5",
+    "dedup_components",
+    "corpus_clean",
     "skew_salted_stats",
     "j4_rank1_assignment",
     # length_quantiles, html_block_classify, media_header_stats moved
@@ -529,7 +577,9 @@ _SAMPLE_FIRST = [
     # test_multimodal_sim; quantiles' approx twin stays sampled).
     # split_train_val, tfidf_top_terms, rep_ratios, pii_scrub_stats,
     # minhash128_full_pairs, emb_cosine_top5, ann_ivf_top5,
-    # asof_view_before_purchase likewise
+    # ann_lsh_top5, asof_view_before_purchase, minhash128_pairs
+    # (its candidate-pair kernel still feeds the sampled
+    # dedup_components row) likewise
     # rotated out (all r03-green with their own pytest coverage;
     # longdoc_dedup keeps the full-text kernel sampled and ann_lsh
     # keeps the ANN path sampled) to make room for the seven r4
@@ -715,6 +765,21 @@ def _extraction_oracles() -> dict[str, str]:
               on p.user_id = v.user_id
              and p.event_type = 'purchase' and v.event_type = 'view'
              and v.ts <= p.ts and v.ts >= p.ts - interval '6 hours'
+        """,
+        # the stream-static enrichment must reproduce the batch
+        # broadcast-lookup join over the same event rows
+        "x_stream_enrich": """
+            with s as (
+              select event_type,
+                     cast(sum(cast(floor(value * 100) as bigint)) // count(*)
+                          as bigint) as type_avg_cents
+              from events group by event_type
+            )
+            select e.event_id, e.event_type,
+                   cast(floor(e.value * 100) as bigint) as v_cents,
+                   s.type_avg_cents,
+                   floor(e.value * 100) > s.type_avg_cents as above_avg
+            from events e join s using (event_type)
         """,
         "x_assemble": asm_cte()
         + """

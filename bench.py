@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "fk_orphan_audit",
     "word_pmi",
     "outlier_3sigma",
+    "snapshot_diff",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -272,3 +272,44 @@ def test_outlier_3sigma_matches_float_reference(spark):
             if abs(v - mu) > 3 * sd + 1e-9:
                 exp.add(eid)
     assert got == exp
+
+
+def test_snapshot_diff_statuses_partition_the_ids(spark):
+    """added/removed/changed sets must exactly match the version
+    rules the snapshots were derived with."""
+    rows = q.QUERIES["snapshot_diff"](spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.status, set()).add(r.doc_id)
+    ids = [r.doc_id for r in q.t(spark, SF, "documents").select("doc_id").collect()]
+    v1 = {i for i in ids if i % 7 != 0}
+    v2 = {i for i in ids if i % 5 != 0}
+    assert got.get("added", set()) == v2 - v1
+    assert got.get("removed", set()) == v1 - v2
+    assert got.get("changed", set()) == {i for i in v1 & v2 if i % 11 == 0}
+
+
+def test_stream_enrich_matches_batch_join(spark):
+    """The availableNow-drained stream-static enrichment must equal
+    the plain batch broadcast join over the same rows."""
+    import __spark_entry__ as entry
+
+    got = {
+        (r.event_id, r.v_cents, r.type_avg_cents, r.above_avg)
+        for r in entry.queries()["x_stream_enrich"](spark, SF).collect()
+    }
+    e = q.t(spark, SF, "events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("sum(floor(value * 100)) div count(*)")
+        .cast("long")
+        .alias("avg")
+    )
+    exp = {
+        (r.event_id, r.v, r.avg, r.v > r.avg)
+        for r in e.select(
+            "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+        )
+        .join(stats, "event_type")
+        .collect()
+    }
+    assert got == exp

@@ -4547,3 +4547,66 @@ def outlier_3sigma(spark, sf_dir):
         )
         .select("event_id", "event_type", "v_units")
     )
+
+
+# =====================================================================
+# Snapshot diff: added/removed/changed report between two corpus
+# versions — full-outer id join + content-hash compare
+# =====================================================================
+@q(
+    "snapshot_diff",
+    """
+    with v1 as (
+      select doc_id, md5(text) as h from documents where doc_id % 7 <> 0
+    ),
+    v2 as (
+      select doc_id,
+             md5(case when doc_id % 11 = 0 then upper(text) else text end) as h
+      from documents where doc_id % 5 <> 0
+    )
+    select coalesce(v1.doc_id, v2.doc_id) as doc_id,
+           case when v1.doc_id is null then 'added'
+                when v2.doc_id is null then 'removed'
+                else 'changed' end as status
+    from v1 full outer join v2 on v1.doc_id = v2.doc_id
+    where v1.doc_id is null or v2.doc_id is null or v1.h <> v2.h
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Corpus version diff — the added/removed/changed report a data
+    registry publishes between snapshot releases. Two deterministic
+    versions are derived from the same table (v1 drops every 7th doc,
+    v2 drops every 5th and edits every 11th), then a single full-outer
+    join on doc_id with md5 content-hash comparison classifies each
+    divergent id; unchanged rows are filtered out so the report is
+    delta-sized, not corpus-sized. Plan: one co-partitioned join on
+    the id key (both sides shuffle once on doc_id), hashes computed
+    map-side in the scan projection — content bytes never transit the
+    shuffle, only 32-char digests. At 10^12 rows this is the
+    metadata-efficient diff shape: the join carries (id, digest)
+    pairs, and at petabyte scale the same plan runs over
+    per-partition digest files instead of raw text. Reference
+    analogue: the evaluator's ground-truth match join diffing
+    expected vs produced spans (SURVEY §2 J6)."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.filter(
+        F.col("h1").isNull() | F.col("h2").isNull() | (F.col("h1") != F.col("h2"))
+    ).select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )
