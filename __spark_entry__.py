@@ -562,14 +562,13 @@ _SAMPLE_FIRST = [
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
     "word_pmi", "outlier_3sigma", "snapshot_diff",
+    "k_anonymity_audit", "decayed_engagement",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
-    "dedup_components",
     "corpus_clean",
-    "skew_salted_stats",
     "j4_rank1_assignment",
     # length_quantiles, html_block_classify, media_header_stats moved
     # to the tail for the r4 additions: all three were driver-green in
@@ -577,9 +576,9 @@ _SAMPLE_FIRST = [
     # test_multimodal_sim; quantiles' approx twin stays sampled).
     # split_train_val, tfidf_top_terms, rep_ratios, pii_scrub_stats,
     # minhash128_full_pairs, emb_cosine_top5, ann_ivf_top5,
-    # ann_lsh_top5, asof_view_before_purchase, minhash128_pairs
-    # (its candidate-pair kernel still feeds the sampled
-    # dedup_components row) likewise
+    # ann_lsh_top5, asof_view_before_purchase, minhash128_pairs,
+    # dedup_components (test_cc pins the star-CC invariants),
+    # skew_salted_stats (test_skew pins the two-phase plan) likewise
     # rotated out (all r03-green with their own pytest coverage;
     # longdoc_dedup keeps the full-text kernel sampled and ann_lsh
     # keeps the ANN path sampled) to make room for the seven r4

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "word_pmi",
     "outlier_3sigma",
     "snapshot_diff",
+    "k_anonymity_audit",
+    "decayed_engagement",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

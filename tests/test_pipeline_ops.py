@@ -313,3 +313,41 @@ def test_stream_enrich_matches_batch_join(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_k_anonymity_group_sizes_sum_to_corpus(spark):
+    rows = q.QUERIES["k_anonymity_audit"](spark, SF).collect()
+    total = q.t(spark, SF, "documents").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert r.at_risk == (r.n < q.K_ANON)
+
+
+def test_decayed_engagement_bounds(spark):
+    """Decay can only shrink: decayed ≤ raw sum; and a user whose
+    events all sit in the newest week scores exactly the raw sum."""
+    rows = {r.user_id: r for r in q.QUERIES["decayed_engagement"](spark, SF).collect()}
+    evs = (
+        q.t(spark, SF, "events")
+        .select(
+            "user_id",
+            F.floor("value").cast("long").alias("v"),
+            F.col("ts").cast("timestamp").cast("long").alias("t"),
+        )
+        .collect()
+    )
+    mt = max(r.t for r in evs)
+    by_user = {}
+    for r in evs:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, es in by_user.items():
+        got = rows[uid]
+        assert got.n_events == len(es)
+        exp = sum(
+            (e.v >> ((mt - e.t) // q.DECAY_WEEK_S))
+            if (mt - e.t) // q.DECAY_WEEK_S < 63
+            else 0
+            for e in es
+        )
+        assert got.decayed_units == exp
+        assert got.decayed_units <= sum(e.v for e in es)

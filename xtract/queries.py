@@ -4610,3 +4610,107 @@ def snapshot_diff(spark, sf_dir):
         .otherwise("changed")
         .alias("status"),
     )
+
+
+# =====================================================================
+# k-anonymity audit: quasi-identifier group sizes — the privacy /
+# governance gate a training-data release runs before publishing
+# =====================================================================
+K_ANON = 5
+LEN_BUCKET = 100  # n_chars granularity in the quasi-identifier
+
+
+@q(
+    "k_anonymity_audit",
+    f"""
+    with g as (
+      select lang, cast(n_chars // {LEN_BUCKET} as bigint) as len_bucket,
+             cast(count(*) as bigint) as n
+      from documents group by lang, n_chars // {LEN_BUCKET}
+    )
+    select lang, len_bucket, n, n < {K_ANON} as at_risk
+    from g
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the release's quasi-identifier space
+    (lang × bucketed length): every equivalence class whose size is
+    below k is a re-identification risk — records in it are
+    distinguishable by attributes a release treats as harmless. One
+    map-side-combinable aggregation produces the class-size table
+    (quasi-space-cardinality rows, tiny at any corpus size) and the
+    flag is a pure comparison; the remediation step (suppress or
+    generalize at-risk classes) is then a broadcast semi-join of this
+    table against the corpus — the same shape as domain_quality_gate.
+    This is the governance twin of pii_scrub_stats: PII scrubbing
+    removes direct identifiers, this audits the indirect ones."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        F.expr(f"n_chars div {LEN_BUCKET}").cast("long").alias("len_bucket"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return g.select(
+        "lang", "len_bucket", "n", (F.col("n") < K_ANON).alias("at_risk")
+    )
+
+
+# =====================================================================
+# Time-decayed engagement score: exponential decay with EXACT integer
+# arithmetic (power-of-two half-life via right-shift, no float pow)
+# =====================================================================
+DECAY_WEEK_S = 604800
+
+
+@q(
+    "decayed_engagement",
+    f"""
+    with e as (
+      select user_id, cast(floor(value) as bigint) as v,
+             cast(floor(epoch(ts)) as bigint) as t
+      from events
+    ),
+    m as (select cast(max(t) as bigint) as mt from e)
+    select e.user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(case when (m.mt - e.t) // {DECAY_WEEK_S} < 63
+                         then e.v >> ((m.mt - e.t) // {DECAY_WEEK_S})
+                         else 0 end) as bigint) as decayed_units
+    from e cross join m
+    group by e.user_id
+    """,
+)
+def decayed_engagement(spark, sf_dir):
+    """Recency-weighted engagement per user with a one-week half-life,
+    in EXACT integer arithmetic: weight = 2^-age_weeks implemented as
+    a right-shift (v >> age_weeks), so there is no float pow/exp whose
+    last-ulp could flip a sum between engines — the decay ladder is
+    bit-exact by construction (shifts ≥ 63 clamp to zero; Java's
+    shift-count masking would otherwise wrap them). The reference
+    instant is the corpus max timestamp — a 1-row broadcast scalar —
+    so scoring is one map-side pass plus the user-keyed agg. This is
+    the feature-store recency feature (decayed clicks/spend) every
+    ranking pipeline maintains; at 10^12 events the same expression
+    runs incrementally by decaying yesterday's aggregate one notch
+    and adding today's partial."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor("value").cast("long").alias("v"),
+        _epoch(F.col("ts")).alias("t"),
+    )
+    m = F.broadcast(e.agg(F.max("t").cast("long").alias("mt")))
+    return (
+        e.crossJoin(m)
+        .withColumn("age_w", F.expr(f"(mt - t) div {DECAY_WEEK_S}"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("age_w") < 63,
+                    F.expr("shiftright(v, cast(age_w as int))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("decayed_units"),
+        )
+    )
