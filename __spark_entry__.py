@@ -562,13 +562,12 @@ _SAMPLE_FIRST = [
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
     "word_pmi", "outlier_3sigma", "snapshot_diff",
-    "k_anonymity_audit", "decayed_engagement",
+    "k_anonymity_audit", "decayed_engagement", "int8_ann_top3",
     # r3 post-battery rows the r3 sample missed
     "dedup_incremental", "rollup_counts", "pivot_lang_counts",
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
-    "corpus_clean",
     "j4_rank1_assignment",
     # length_quantiles, html_block_classify, media_header_stats moved
     # to the tail for the r4 additions: all three were driver-green in
@@ -578,7 +577,8 @@ _SAMPLE_FIRST = [
     # minhash128_full_pairs, emb_cosine_top5, ann_ivf_top5,
     # ann_lsh_top5, asof_view_before_purchase, minhash128_pairs,
     # dedup_components (test_cc pins the star-CC invariants),
-    # skew_salted_stats (test_skew pins the two-phase plan) likewise
+    # skew_salted_stats (test_skew pins the two-phase plan),
+    # corpus_clean (replica-checked at sf0.01 AND sf0.1) likewise
     # rotated out (all r03-green with their own pytest coverage;
     # longdoc_dedup keeps the full-text kernel sampled and ann_lsh
     # keeps the ANN path sampled) to make room for the seven r4

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "k_anonymity_audit",
     "decayed_engagement",
+    "int8_ann_top3",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -351,3 +351,25 @@ def test_decayed_engagement_bounds(spark):
         )
         assert got.decayed_units == exp
         assert got.decayed_units <= sum(e.v for e in es)
+
+
+def test_int8_quantized_ranking_close_to_float(spark):
+    """Quantized retrieval must rank sensibly: top-3 per query are
+    oriented, ranked by exact integer dot, and the quantized top-1
+    appears in the float cosine top-5 for most queries (quantization
+    preserves neighborhoods)."""
+    rows = q.QUERIES["int8_ann_top3"](spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert by_q and all(len(v) == 3 for v in by_q.values())
+    for v in by_q.values():
+        v.sort(key=lambda r: r.rk)
+        assert v[0].idot >= v[1].idot >= v[2].idot
+    cos = {}
+    for r in q.QUERIES["emb_cosine_top5"](spark, SF).collect():
+        cos.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(
+        1 for qid, v in by_q.items() if qid in cos and v[0].nid in cos[qid]
+    )
+    assert hits >= len(by_q) * 0.7

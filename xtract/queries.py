@@ -4714,3 +4714,83 @@ def decayed_engagement(spark, sf_dir):
             .alias("decayed_units"),
         )
     )
+
+
+# =====================================================================
+# int8-quantized embedding retrieval: per-vector symmetric
+# quantization + EXACT integer dot products — the 4x memory/bandwidth
+# scale path for vector search
+# =====================================================================
+@q(
+    "int8_ann_top3",
+    """
+    with q8 as (
+      select vec_id,
+             list_transform(embedding, x ->
+               cast(floor((cast(x as double) * 127.0) /
+                    greatest(list_max(list_transform(embedding,
+                      y -> abs(cast(y as double)))), 1e-12)) as bigint)
+             ) as qv
+      from embeddings
+    )
+    select qid, rk, nid, idot from (
+      select qid, nid, idot,
+             row_number() over (partition by qid order by idot desc, nid) as rk
+      from (
+        select q.vec_id as qid, c.vec_id as nid,
+               cast(list_sum(list_transform(range(1, 65),
+                 i -> q.qv[i] * c.qv[i])) as bigint) as idot
+        from q8 q join q8 c on q.vec_id < 10 and c.vec_id != q.vec_id
+      )
+    ) where rk <= 3
+    """,
+)
+def int8_ann_top3(spark, sf_dir):
+    """Vector retrieval over int8-QUANTIZED embeddings — the memory/
+    bandwidth scale path (4x smaller vectors than f32, SIMD int dot):
+    each vector is symmetrically quantized to q_i = floor(x_i·127 /
+    max|x|) map-side, and candidate scoring is a pure INTEGER dot
+    product, so the ranking contract is bit-exact across engines (the
+    only floats are the per-element quantize expressions, each a
+    fixed-shape IEEE mul/div/floor with no accumulation order — both
+    engines produce identical ints). The brute top-3 here is the
+    exactness baseline over the quantized space; composing with the
+    IVF/LSH bucketing (similarity.py) gives quantized ANN, which is
+    precisely the IVF-PQ-family layout vector stores run at billions
+    of vectors. Zero-vector guard: scale clamps at 1e-12 (identical
+    literal both engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    mx = F.greatest(
+        F.array_max(F.transform("embedding", lambda y: F.abs(y.cast("double")))),
+        F.lit(1e-12),
+    )
+    q8 = (
+        e.select("vec_id", "embedding", mx.alias("mx"))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 127.0 / F.col("mx")).cast(
+                    "long"
+                ),
+            ).alias("qv"),
+        )
+    )
+    q_ = q8.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qa")).filter(
+        F.col("qid") < 10
+    )
+    c = q8.select(F.col("vec_id").alias("nid"), F.col("qv").alias("ca"))
+    idot = F.aggregate(
+        F.zip_with("qa", "ca", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = q_.join(c, F.col("nid") != F.col("qid")).select(
+        "qid", "nid", idot.cast("long").alias("idot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("idot").desc(), "nid")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", F.col("rk").cast("long"), "nid", "idot")
+    )
