@@ -568,7 +568,10 @@ _SAMPLE_FIRST = [
     "sample_per_source", "funnel_steps", "props_json_stats",
     "hopping_30m", "length_rank_stats",
     # heavyweight scale operators (dedup / similarity / skew / asof)
-    "j4_rank1_assignment",
+    "pagerank_dupgraph",
+    # j4_rank1_assignment rotated to the tail for pagerank_dupgraph:
+    # j4 was driver-green in r03 AND its packed-greedy/rank-1 parity
+    # is pinned by test_merge + the x_rank1_divergence sampled row.
     # length_quantiles, html_block_classify, media_header_stats moved
     # to the tail for the r4 additions: all three were driver-green in
     # r03 and carry their own pytest coverage (test_html,

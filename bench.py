@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "minhash128_full_pairs",
     "longdoc_dedup",
     "dedup_components",
+    "pagerank_dupgraph",
     "dedup_incremental",
     "skew_salted_stats",
     "ann_lsh_top5",

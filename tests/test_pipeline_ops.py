@@ -373,3 +373,35 @@ def test_int8_quantized_ranking_close_to_float(spark):
         1 for qid, v in by_q.items() if qid in cos and v[0].nid in cos[qid]
     )
     assert hits >= len(by_q) * 0.7
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Bit-exact against a driver-side Python replay of the same
+    integer recurrence over the same candidate edges — the contract
+    the DuckDB oracle certifies cross-engine, pinned here in-process
+    so a Spark-side plan change can't silently drift the arithmetic."""
+    from xtract import minhash as mh
+
+    d = q.t(spark, SF, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in mh.candidate_pairs(
+            d.select("doc_id", "text"), max_bucket=50
+        ).collect()
+    ]
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: q.PR_R0 for n in deg}
+    for _ in range(q.PR_ITERS):
+        nxt = {}
+        for s, t_ in edges:
+            nxt[t_] = nxt.get(t_, 0) + rank[s] // deg[s]
+        rank = {n: 150000 + (85 * v) // 100 for n, v in nxt.items()}
+    got = {r.doc_id: r.rank_e6 for r in q.QUERIES["pagerank_dupgraph"](spark, SF).collect()}
+    assert got == rank
+    assert all(v >= 150000 for v in got.values())

@@ -4794,3 +4794,91 @@ def int8_ann_top3(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("qid", F.col("rk").cast("long"), "nid", "idot")
     )
+
+
+# =====================================================================
+# Integer PageRank over the near-dup candidate graph: iterative graph
+# analytics beyond CC, bit-exact via unrolled integer iterations
+# =====================================================================
+PR_ITERS = 5
+PR_R0 = 1_000_000  # initial rank mass per node (micros)
+
+
+def _pagerank_sql() -> str:
+    from . import minhash as mh
+
+    base = _minhash128_cte(cap=mh.CAP) + """
+    , pairs as (
+      select a.doc_id as a, b.doc_id as b
+      from kept a join kept b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    edges as (select a as src, b as dst from pairs
+              union select b, a from pairs),
+    deg as (select src, cast(count(*) as bigint) as d from edges group by src),
+    pr0 as (select src as node, cast(%d as bigint) as r from deg)
+    """ % PR_R0
+    step = """
+    , pr{i} as (
+      select e.dst as node,
+             cast(150000 + (85 * sum(p.r // g.d)) // 100 as bigint) as r
+      from edges e
+      join pr{j} p on e.src = p.node
+      join deg g on e.src = g.src
+      group by e.dst
+    )
+    """
+    for i in range(1, PR_ITERS + 1):
+        base += step.format(i=i, j=i - 1)
+    return base + f"""
+    select node as doc_id, r as rank_e6 from pr{PR_ITERS}
+    """
+
+
+@q("pagerank_dupgraph", _pagerank_sql())
+def pagerank_dupgraph(spark, sf_dir):
+    """PageRank centrality over the production near-dup candidate
+    graph (the 128-perm banded pairs dedup_components clusters) —
+    which documents sit at the CENTER of duplication neighborhoods,
+    the signal a crawl-frontier or canonical-selection policy ranks
+    by. The contract is bit-exact through all PR_ITERS iterations
+    because the update is pure integer arithmetic: r' = 150000 +
+    (85·Σ(r div deg)) div 100 (damping 0.85 in percent, mass in
+    micros, remainders dropped identically in both engines — a float
+    PageRank could never hash-match). Spark runs the canonical
+    edges-join-ranks loop (degree joined once; each iteration is one
+    shuffle on dst — the GraphX/Pregel shape in plain DataFrames);
+    DuckDB restates it as PR_ITERS unrolled CTEs over the SAME
+    candidate-edge CTE the other dedup oracles share. Unlike cc.py's
+    O(log n)-round star contraction, rounds here are fixed-count —
+    no convergence check, so no driver .first() per round; at 10^12
+    edges each iteration is a co-partitioned join + agg, and
+    checkpointing every k rounds caps lineage exactly as cc.py does.
+    Reference analogue: rank-1 canonical election (J4) picks ONE
+    winner; this scores the whole neighborhood."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents")
+    pairs = mh.candidate_pairs(
+        d.select("doc_id", "text"), max_bucket=50
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    ewd = edges.join(deg, "src")  # degree rides on the edge list
+    r = deg.select(F.col("src").alias("node"), F.lit(PR_R0).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        r = (
+            ewd.join(r, ewd["src"] == r["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr("cast(150000 + (85 * sum(r div d)) div 100 as long)").alias(
+                    "r"
+                )
+            )
+        )
+    return r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_e6"))
