@@ -520,6 +520,30 @@ def _extraction_queries() -> dict[str, Callable]:
             "event_id", "event_type", "v_cents", "type_avg_cents", "above_avg"
         )
 
+    def x_turn_audit(spark, sf_dir):
+        """Turn-sequence INTEGRITY audit over the transcript table —
+        the precondition check for the north rule's 'stable turn
+        ordering' guarantee, run before extraction ever starts: per
+        conversation, duplicate turn_idx count, largest turn_idx gap,
+        consecutive same-role runs, empty-text turns, and timestamp
+        regressions (ts moving backwards against turn order). All six
+        counters come off ONE window pass over (conv_id ORDER BY
+        turn_idx) plus the conv_id agg that reuses the window's
+        partitioning — at 10^12 turns this is a single shuffle on
+        conv_id, the same key every downstream extraction stage
+        shuffles on. The transcripts are materialized (mat.py) so the
+        DuckDB oracle audits the exact same bytes. Ordering ties
+        (duplicate turn_idx) would make lag() order-dependent; this
+        corpus has none by construction (turn_idx = doc_id) and the
+        dup counter is itself order-insensitive, so the contract is
+        deterministic."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.turn_audit(turns)
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -535,6 +559,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_rank1_divergence": x_rank1_divergence,
         "x_stream_join": x_stream_join,
         "x_stream_enrich": x_stream_enrich,
+        "x_turn_audit": x_turn_audit,
     }
 
 
@@ -552,7 +577,7 @@ _SAMPLE_FIRST = [
     "x_exam_info", "x_analyze_groups", "x_pdf_extract", "x_assemble",
     "x_assemble_sparse", "x_assemble_stream", "x_assemble_unordered",
     "x_dup_spans", "x_rank1_divergence", "x_stream_join",
-    "x_stream_enrich",
+    "x_stream_enrich", "x_turn_audit",
     # new/changed this round
     "longdoc_dedup", "table_profile", "table_profile_approx",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -563,10 +588,17 @@ _SAMPLE_FIRST = [
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
     "word_pmi", "outlier_3sigma", "snapshot_diff",
     "k_anonymity_audit", "decayed_engagement", "int8_ann_top3",
-    # r3 post-battery rows the r3 sample missed
-    "dedup_incremental", "rollup_counts", "pivot_lang_counts",
-    "sample_per_source", "funnel_steps", "props_json_stats",
-    "hopping_30m", "length_rank_stats",
+    "edit_dist_verify", "triangle_support", "trend_slope",
+    "drift_l1", "hist_totalprice",
+    # r3 post-battery row the r3 sample missed (the other seven —
+    # rollup_counts, pivot_lang_counts, sample_per_source,
+    # funnel_steps, props_json_stats, hopping_30m, length_rank_stats —
+    # rotate to the tail this session: each is replica-PASS in both
+    # the r3 judge's run and this round's verify_all, with native
+    # grouping-set/pivot/window plan shapes pinned by
+    # tools/explain_audit; the slots go to the six session-4 additions
+    # above so every new-this-round row gets driver signal)
+    "dedup_incremental",
     # heavyweight scale operators (dedup / similarity / skew / asof)
     "pagerank_dupgraph",
     # j4_rank1_assignment rotated to the tail for pagerank_dupgraph:
@@ -782,6 +814,32 @@ def _extraction_oracles() -> dict[str, str]:
                    s.type_avg_cents,
                    floor(e.value * 100) > s.type_avg_cents as above_avg
             from events e join s using (event_type)
+        """,
+        "x_turn_audit": f"""
+            with f as (
+              select conv_id, turn_idx, role, text, ts,
+                     lag(turn_idx) over w as pidx,
+                     lag(role) over w as prole,
+                     lag(ts) over w as pts
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+              window w as (partition by conv_id order by turn_idx)
+            )
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(count(*) - count(distinct turn_idx) as bigint)
+                     as n_dup_idx,
+                   cast(coalesce(max(case when pidx is not null
+                                           and turn_idx - pidx - 1 > 0
+                                      then turn_idx - pidx - 1 else 0 end), 0)
+                        as bigint) as max_gap,
+                   cast(count(*) filter (prole is not null and role = prole)
+                        as bigint) as n_role_repeat,
+                   cast(count(*) filter (text is null
+                                         or length(trim(text)) = 0)
+                        as bigint) as n_empty,
+                   cast(count(*) filter (pts is not null and ts < pts)
+                        as bigint) as n_ts_regress
+            from f group by conv_id
         """,
         "x_assemble": asm_cte()
         + """

@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "decayed_engagement",
     "int8_ann_top3",
+    "trend_slope",
+    "drift_l1",
+    "hist_totalprice",
+    "edit_dist_verify",
+    "triangle_support",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -599,6 +599,100 @@ def main() -> None:
         )
     )
 
+    # ---- trend slope: one user_id shuffle, min-ts rides broadcast ---
+    import re as _re2
+
+    ts_df = qmod.QUERIES["trend_slope"](spark, "/root/testdata/sf0.001")
+    p = plan_of(ts_df)
+    sections.append(
+        (
+            "Trend slope (integer OLS: one user agg, scalar broadcast)",
+            p,
+            [
+                "The corpus-min timestamp is a 1-row BroadcastExchange; the "
+                "events side shuffles exactly once, on user_id, for the agg "
+                "that carries all five OLS sums in one pass.",
+            ],
+        )
+    )
+    user_ex = len(
+        [ln for ln in p.splitlines() if "hashpartitioning(user_id" in ln]
+    )
+    other_hash_ex = len(
+        [
+            ln
+            for ln in p.splitlines()
+            if "Arguments: hashpartitioning" in ln
+            and "hashpartitioning(user_id" not in ln
+        ]
+    )
+    checks.append(
+        (
+            "trend_slope: exactly one user_id shuffle (the only non-scalar "
+            "exchange), min-ts broadcast",
+            user_ex == 1 and other_hash_ex == 0 and "BroadcastExchange" in p,
+        )
+    )
+
+    # ---- drift monitor: one word agg + distributed top-k ------------
+    # The totals side references the word-agg subtree a second time;
+    # the static plan shows two identical exchanges, and AQE's
+    # exchange-reuse collapses them at runtime — so this check runs
+    # the query and audits the FINAL adaptive plan for the
+    # ReusedExchange (one corpus scan+explode, not two).
+    dr = qmod.QUERIES["drift_l1"](spark, "/root/testdata/sf0.001")
+    dr.collect()
+    p = plan_of(dr)
+    sections.append(
+        (
+            "Drift monitor (conditional aggs in one pass, top-k not a sort; "
+            "final adaptive plan after execution)",
+            p,
+            [
+                "Both slice counts are conditional aggregates over ONE "
+                "word-keyed shuffle; the slice-totals side REUSES that "
+                "shuffle (ReusedExchange in the final plan — the corpus is "
+                "scanned and exploded once), totals come back as a 1-row "
+                "broadcast, and the final top-30 is TakeOrderedAndProject — "
+                "per-partition partial top-k, no global sort of the "
+                "vocabulary.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "drift_l1: totals reuse the word-agg shuffle (ReusedExchange) "
+            "+ TakeOrderedAndProject top-k",
+            "isFinalPlan=true" in p
+            and "ReusedExchange" in p
+            and "TakeOrderedAndProject" in p,
+        )
+    )
+
+    # ---- edit-distance verify: candidate joins only, no product -----
+    ed = qmod.QUERIES["edit_dist_verify"](spark, "/root/testdata/sf0.001")
+    p = plan_of(ed)
+    sections.append(
+        (
+            "Edit-distance verification (DP only on banded candidates)",
+            p,
+            [
+                "The O(len²) Levenshtein DP runs strictly on the banded "
+                "candidate pairs — every join in the plan is an equi-join "
+                "(band bucket, then doc_id to fetch each side's capped "
+                "text); no cartesian/BroadcastNestedLoop node anywhere.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "edit_dist_verify: no cartesian product in the plan",
+            len(_re2.findall(r"^\(\d+\) CartesianProduct", p, _re2.M)) == 0
+            and len(_re2.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, _re2.M))
+            == 0,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

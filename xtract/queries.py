@@ -4882,3 +4882,351 @@ def pagerank_dupgraph(spark, sf_dir):
             )
         )
     return r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_e6"))
+
+
+# =====================================================================
+# Edit-distance verification of near-dup candidates: the PRECISION
+# stage after MinHash recall, exact and integer end-to-end
+# =====================================================================
+ED_CAP = 1000  # chars compared per pair — bounds the O(a*b) DP cell count
+
+
+def _edit_dist_sql() -> str:
+    from . import minhash as mh
+
+    return _minhash128_cte(cap=mh.CAP) + f"""
+    , pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b
+      from kept a join kept b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select p.doc_a, p.doc_b,
+           cast(levenshtein(substr(da.text, 1, {ED_CAP}),
+                            substr(db.text, 1, {ED_CAP})) as bigint) as dist,
+           cast(((greatest(length(substr(da.text, 1, {ED_CAP})),
+                           length(substr(db.text, 1, {ED_CAP})))
+                  - levenshtein(substr(da.text, 1, {ED_CAP}),
+                                substr(db.text, 1, {ED_CAP}))) * 1000000)
+                // greatest(length(substr(da.text, 1, {ED_CAP})),
+                            length(substr(db.text, 1, {ED_CAP})), 1)
+                as bigint) as sim_ppm
+    from pairs p
+    join documents da on da.doc_id = p.doc_a
+    join documents db on db.doc_id = p.doc_b
+    """
+
+
+@q("edit_dist_verify", _edit_dist_sql())
+def edit_dist_verify(spark, sf_dir):
+    """Levenshtein VERIFICATION of the MinHash candidate pairs — the
+    classic recall→precision dedup ladder's last rung: banding finds
+    candidates cheaply, edit distance certifies them exactly. The
+    O(a·b) DP never touches the corpus at large — it runs only on the
+    banded candidate pairs (skew-capped buckets bound pair count), and
+    each string is capped at ED_CAP chars so per-pair cost is a
+    constant ≤ ED_CAP² cells regardless of document length. Both
+    engines expose the same classic unit-cost Levenshtein builtin
+    (Spark ``levenshtein``, DuckDB ``levenshtein``), so ``dist`` is
+    bit-identical, and the similarity ratio is kept integer:
+    sim_ppm = (maxlen − dist)·1e6 div maxlen — no float division to
+    diverge. At 10^12 docs this is a broadcast-free three-way join on
+    doc_id: candidates shuffle once, each side's text rides in from
+    the doc table co-partitioned on the same key. Reference analogue:
+    strict/loose arbitration (R4) also re-scores candidates with an
+    exact matcher after a cheap recall pass."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents")
+    pairs = mh.candidate_pairs(d.select("doc_id", "text"), max_bucket=50).select(
+        "doc_a", "doc_b"
+    )
+    txt = d.select(
+        "doc_id", F.substring("text", 1, ED_CAP).alias("tx")
+    )
+    j = (
+        pairs.join(txt.select(F.col("doc_id").alias("doc_a"), F.col("tx").alias("ta")), "doc_a")
+        .join(txt.select(F.col("doc_id").alias("doc_b"), F.col("tx").alias("tb")), "doc_b")
+    )
+    mlen = F.greatest(F.length("ta"), F.length("tb"))
+    dist = F.levenshtein("ta", "tb").cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.alias("dist"),
+        F.expr(
+            "cast(((greatest(length(ta), length(tb)) - cast(levenshtein(ta, tb) as bigint))"
+            " * 1000000) div greatest(length(ta), length(tb), 1) as long)"
+        ).alias("sim_ppm"),
+    )
+
+
+# =====================================================================
+# Triangle counting on the near-dup candidate graph: per-node triangle
+# support, the densest-neighborhood signal (clustering coefficient
+# numerator / k-truss basis)
+# =====================================================================
+def _triangle_sql() -> str:
+    from . import minhash as mh
+
+    return _minhash128_cte(cap=mh.CAP) + """
+    , pairs as (
+      select a.doc_id as a, b.doc_id as b
+      from kept a join kept b
+        on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    tri as (
+      select e1.a as x, e1.b as y, e2.b as z
+      from pairs e1
+      join pairs e2 on e2.a = e1.b
+      join pairs e3 on e3.a = e1.a and e3.b = e2.b
+    )
+    select node as doc_id, cast(count(*) as bigint) as n_tri
+    from (
+      select unnest([x, y, z]) as node from tri
+    )
+    group by node
+    """
+
+
+@q("triangle_support", _triangle_sql())
+def triangle_support(spark, sf_dir):
+    """Per-node TRIANGLE support over the production near-dup
+    candidate graph — the local-density signal that separates a tight
+    duplication clique (template spam, mirrored boilerplate) from a
+    chain of borderline pairs: cliques are triangle-rich, chains are
+    triangle-free. Same edge set as dedup_components / pagerank (the
+    128-perm banded pairs), so the three graph views certify each
+    other. The id-oriented edge list (a<b) counts each triangle
+    exactly once as (x<y<z): wedge join on the middle node, then a
+    closing join on (x,z) — two shuffles on node id, no node ever
+    enumerates its full neighborhood in one task. At 10^12-doc scale
+    the standard hardening applies and is documented here as the
+    deviation point: orient edges by (degree, id) instead of raw id so
+    every wedge pivot has low out-degree (bounds wedge count by
+    arboricity), and the banded graph's bucket cap (50) already bounds
+    raw degree. Integer counts only — nothing to drift."""
+    from . import minhash as mh
+
+    d = t(spark, sf_dir, "documents")
+    e = mh.candidate_pairs(d.select("doc_id", "text"), max_bucket=50).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+
+
+# =====================================================================
+# Per-user engagement trend: exact integer least-squares slope
+# (numerator/denominator pair — no float regression to diverge)
+# =====================================================================
+@q(
+    "trend_slope",
+    """
+    with base as (
+      select user_id,
+             (cast(floor(epoch(ts)) as bigint)
+              - (select min(cast(floor(epoch(ts)) as bigint)) from events))
+               // 3600 as x,
+             cast(floor(value) as bigint) as y
+      from events
+    )
+    select user_id,
+           cast(count(*) as bigint) as n,
+           cast(count(*) * sum(x * y) - sum(x) * sum(y) as bigint) as slope_num,
+           cast(count(*) * sum(x * x) - sum(x) * sum(x) as bigint) as slope_den
+    from base
+    group by user_id
+    having count(*) >= 2
+    """,
+)
+def trend_slope(spark, sf_dir):
+    """Per-user engagement TREND via exact integer least squares —
+    is each user's event value rising or falling over the corpus
+    window? The OLS slope is kept as the rational pair
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²): both engines emit the two int64
+    sums bit-exactly, and the caller divides (or compares num·den'
+    cross-products) only at presentation time — a float regression
+    could never hash-match across engines. x is HOURS since the
+    corpus min timestamp (one broadcast scalar), which both rebases
+    the epoch so squares stay far from int64 range (30-day corpus →
+    x ≤ 719; even a 10-year window is x ≤ 9e4, Σx² per user ≤ 1e9·n)
+    and makes the slope unit interpretable (value units per hour).
+    One shuffle: the user_id agg; the min-ts subquery is a 1-row
+    broadcast. This is the feature-store trend feature next to
+    decayed_engagement's recency feature — same scan, same shuffle
+    key, so at 10^12 events the two compute in one pass."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", _epoch(F.col("ts")).alias("t"), F.floor("value").cast("long").alias("y")
+    )
+    m = F.broadcast(e.agg(F.min("t").alias("mn")))
+    return (
+        e.crossJoin(m)
+        .withColumn("x", F.expr("(t - mn) div 3600"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.count("*") * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y")).cast("long").alias("slope_num"),
+            (F.count("*") * F.sum(F.col("x") * F.col("x"))
+             - F.sum("x") * F.sum("x")).cast("long").alias("slope_den"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# =====================================================================
+# Corpus drift monitor: word-frequency L1 drift (ppm) between two
+# corpus slices — the data-quality alarm for a changing crawl mix
+# =====================================================================
+DRIFT_TOP = 30
+
+
+@q(
+    "drift_l1",
+    f"""
+    with w as (
+      select doc_id % 2 as half, unnest(string_split(text, ' ')) as word
+      from documents
+    ),
+    c as (
+      select word,
+             cast(count(*) filter (half = 0) as bigint) as c0,
+             cast(count(*) filter (half = 1) as bigint) as c1
+      from w group by word
+    ),
+    n as (
+      select cast(sum(c0) as bigint) as n0, cast(sum(c1) as bigint) as n1 from c
+    )
+    select word, c0, c1,
+           cast(abs(c0 * 1000000 // greatest(n0, 1)
+                    - c1 * 1000000 // greatest(n1, 1)) as bigint) as drift_ppm
+    from c cross join n
+    order by drift_ppm desc, word
+    limit {DRIFT_TOP}
+    """,
+)
+def drift_l1(spark, sf_dir):
+    """Distribution-DRIFT monitor between two corpus slices (here the
+    deterministic doc_id-parity split; in production, yesterday's
+    snapshot vs today's): per-word relative frequency in each slice,
+    integer ppm, ranked by absolute drift. This is the alarm a
+    training-data pipeline runs after every crawl refresh — a word
+    whose frequency moves by thousands of ppm signals a source-mix
+    shift or an injection event long before model metrics move. All
+    arithmetic is integer (c·1e6 div N per slice, then |Δ|), so the
+    ranking is bit-stable across engines; the sum of drift_ppm over
+    the full vocabulary is exactly the scaled L1 (total-variation)
+    distance between the two unigram distributions. Shape at 10^12
+    docs: one explode → one word-keyed agg (map-side combined) with
+    BOTH slice counts as conditional aggs in the same pass (never two
+    scans), slice totals as a 1-row broadcast, and the final top-k a
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort. Ties break lexicographically for determinism."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    c = w.groupBy("word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    n = F.broadcast(
+        c.agg(F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1"))
+    )
+    return (
+        c.crossJoin(n)
+        .select(
+            "word",
+            "c0",
+            "c1",
+            F.expr(
+                "cast(abs(c0 * 1000000 div greatest(n0, 1L)"
+                " - c1 * 1000000 div greatest(n1, 1L)) as long)"
+            ).alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), "word")
+        .limit(DRIFT_TOP)
+    )
+
+
+# =====================================================================
+# Equi-width histogram in pure integer arithmetic — the zone-map /
+# profiling primitive (no engine-specific width_bucket edge semantics)
+# =====================================================================
+HIST_BUCKETS = 20
+
+
+@q(
+    "hist_totalprice",
+    f"""
+    with c as (
+      select cast(floor(o_totalprice * 100) as bigint) as cents from orders
+    ),
+    b as (
+      select cast(min(cents) as bigint) as lo, cast(max(cents) as bigint) as hi
+      from c
+    )
+    select bucket,
+           cast(lo + (bucket * (hi - lo + 1)) // {HIST_BUCKETS} as bigint) as bucket_lo_c,
+           cast(lo + ((bucket + 1) * (hi - lo + 1)) // {HIST_BUCKETS} - 1 as bigint)
+             as bucket_hi_c,
+           cast(count(*) as bigint) as cnt
+    from (
+      select ((cents - lo) * {HIST_BUCKETS}) // (hi - lo + 1) as bucket, lo, hi
+      from c cross join b
+    )
+    group by bucket, lo, hi
+    order by bucket
+    """,
+)
+def hist_totalprice(spark, sf_dir):
+    """Equi-width HISTOGRAM of order totals — the column-profiling /
+    zone-map primitive — computed with a hand-rolled integer bucket
+    formula instead of the engines' ``width_bucket`` builtins, whose
+    boundary semantics (closed/open edges, overflow bucket numbering)
+    differ subtly between engines and versions. bucket =
+    (cents − lo)·B div (hi − lo + 1) maps the domain onto 0..B−1 with
+    every edge case pinned by integer division: cents=hi lands in
+    B−1 because (hi−lo)·B < B·(hi−lo+1). The min/max pair is a 1-row
+    broadcast (the same two numbers a parquet footer zone map would
+    supply free at scale — the scan to compute them disappears on a
+    real warehouse); the histogram itself is one map-side-combinable
+    agg on a B-value key, so the shuffle moves B rows per partition
+    regardless of corpus size. Bucket bounds are emitted so the
+    result is self-describing."""
+    o = t(spark, sf_dir, "orders").select(_cents(F.col("o_totalprice")).alias("cents"))
+    b = F.broadcast(
+        o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    n = HIST_BUCKETS
+    return (
+        o.crossJoin(b)
+        .select(
+            F.expr(f"((cents - lo) * {n}) div (hi - lo + 1)").alias("bucket"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "bucket",
+            F.expr(f"cast(lo + (bucket * (hi - lo + 1)) div {n} as long)").alias(
+                "bucket_lo_c"
+            ),
+            F.expr(
+                f"cast(lo + ((bucket + 1) * (hi - lo + 1)) div {n} - 1 as long)"
+            ).alias("bucket_hi_c"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )
