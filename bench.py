@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "hist_totalprice",
     "edit_dist_verify",
     "triangle_support",
+    "ohlc_hourly",
+    "ann_recall_at5",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

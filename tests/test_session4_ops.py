@@ -181,3 +181,54 @@ def test_turn_audit_planted_violations(spark):
     assert b.n_role_repeat == 2
     assert b.n_empty == 1
     assert b.n_ts_regress == 1
+
+
+def test_ohlc_hourly_matches_python(spark):
+    rows = {r.hour: r for r in q.QUERIES["ohlc_hourly"](spark, SF).collect()}
+    evs = q.t(spark, SF, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    ).collect()
+    by_hour: dict[int, list[tuple[int, int]]] = {}
+    for r in evs:
+        by_hour.setdefault(r.t // 3600, []).append((r.t * 100000 + r.event_id, r.c))
+    assert set(rows) == set(by_hour)
+    for h, pts in by_hour.items():
+        pts.sort()
+        r = rows[h]
+        cs = [c for _, c in pts]
+        assert (r.open_c, r.high_c, r.low_c, r.close_c, r.n, r.vol_c) == (
+            pts[0][1], max(cs), min(cs), pts[-1][1], len(cs), sum(cs)
+        )
+
+
+def test_ann_recall_consistent_with_components(spark):
+    """n_hits must equal the intersection of the two production
+    rankings (similarity.lsh_topk / cosine_topk) recomputed here, one
+    row per panel query, 0 ≤ n_hits ≤ 5, recall_pct = 20·n_hits."""
+    from xtract import similarity
+    from xtract.queries import _ensure_lsh_planes
+
+    rows = q.QUERIES["ann_recall_at5"](spark, SF).collect()
+    assert len(rows) == 20
+    e = q.t(spark, SF, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qset = corpus.filter(F.col("id") < 20)
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            corpus, qset, k=5, n_planes=8, n_tables=4, dim=64
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, qset, k=5).collect()
+    }
+    inter: dict[int, int] = {}
+    for qid, nid in lsh & brute:
+        inter[qid] = inter.get(qid, 0) + 1
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_pct == r.n_hits * 20
+        assert r.n_hits == inter.get(r.qid, 0)

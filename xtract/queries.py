@@ -5230,3 +5230,178 @@ def hist_totalprice(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# =====================================================================
+# OHLC hourly rollup: order-statistics-by-key aggregation with a
+# deterministic integer ordering key (classic time-series compaction)
+# =====================================================================
+@q(
+    "ohlc_hourly",
+    """
+    with b as (
+      select cast(floor(epoch(ts)) as bigint) // 3600 as hour,
+             cast(floor(epoch(ts)) as bigint) * 100000 + event_id as k,
+             cast(floor(value * 100) as bigint) as cents
+      from events
+    )
+    select hour,
+           cast(arg_min(cents, k) as bigint) as open_c,
+           cast(max(cents) as bigint) as high_c,
+           cast(min(cents) as bigint) as low_c,
+           cast(arg_max(cents, k) as bigint) as close_c,
+           cast(count(*) as bigint) as n,
+           cast(sum(cents) as bigint) as vol_c
+    from b group by hour
+    """,
+)
+def ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC compaction of the event stream — the time-series
+    rollup every metrics store and market-data pipeline runs. The
+    subtle part is OPEN/CLOSE: 'first/last value in the hour' is
+    order-dependent, and engines disagree on ties unless the ordering
+    key is total — so the key is the integer epoch·1e5 + event_id
+    (unique by construction; epoch ≤ ~2e9 keeps the product at
+    ~2e14, far from int64), and open/close are min_by/max_by
+    (DuckDB arg_min/arg_max) on that key. Everything is one map-side-
+    combinable agg on the hour key — min_by/max_by carry a single
+    (value, key) pair per partition, so the shuffle moves O(hours)
+    rows whatever the corpus size. Prices in integer cents; no float
+    first()/last() to drift."""
+    e = t(spark, sf_dir, "events").select(
+        _epoch(F.col("ts")).alias("t"),
+        "event_id",
+        _cents(F.col("value")).alias("cents"),
+    )
+    b = e.select(
+        F.expr("t div 3600").alias("hour"),
+        (F.col("t") * 100000 + F.col("event_id")).alias("k"),
+        "cents",
+    )
+    return b.groupBy("hour").agg(
+        F.min_by("cents", "k").cast("long").alias("open_c"),
+        F.max("cents").cast("long").alias("high_c"),
+        F.min("cents").cast("long").alias("low_c"),
+        F.max_by("cents", "k").cast("long").alias("close_c"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("vol_c"),
+    )
+
+
+# =====================================================================
+# ANN index-quality evaluation: recall@5 of the LSH index against the
+# exact brute-force top-5 — the metric that decides whether an
+# approximate index is shippable
+# =====================================================================
+_ANN_RECALL_SQL = f"""
+    with planes as (select tbl, j, w from read_parquet('{_LSH_PLANES_GLOB}')),
+    e as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ),
+    sigs as (
+      select e.vec_id as id, p.tbl as tbl,
+             cast(sum(case when list_sum(list_transform(range(1, 65),
+                               i -> e.v[i] * p.w[i])) > 0
+                      then cast(pow(2, p.j) as bigint) else 0 end) as bigint) as sig
+      from e cross join planes p
+      group by e.vec_id, p.tbl
+    ),
+    cand as (
+      select distinct q.id as qid, c.id as nid
+      from (select * from sigs where id < 20) q
+      join sigs c on q.tbl = c.tbl and q.sig = c.sig and c.id <> q.id
+    ),
+    allp as (
+      select q.vec_id as qid, c.vec_id as nid
+      from embeddings q join embeddings c
+        on q.vec_id < 20 and c.vec_id <> q.vec_id
+    ),
+    cos_cand as (
+      select a.qid, a.nid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> eq.v[i] * ec.v[i]))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> eq.v[i] * eq.v[i])))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ec.v[i] * ec.v[i])))
+             , 6) as s6
+      from cand a
+      join e eq on eq.vec_id = a.qid
+      join e ec on ec.vec_id = a.nid
+    ),
+    cos_all as (
+      select a.qid, a.nid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> eq.v[i] * ec.v[i]))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> eq.v[i] * eq.v[i])))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ec.v[i] * ec.v[i])))
+             , 6) as s6
+      from allp a
+      join e eq on eq.vec_id = a.qid
+      join e ec on ec.vec_id = a.nid
+    ),
+    lsh5 as (
+      select qid, nid from (
+        select qid, nid, row_number() over
+          (partition by qid order by s6 desc, nid) as rk
+        from cos_cand
+      ) where rk <= 5
+    ),
+    brute5 as (
+      select qid, nid from (
+        select qid, nid, row_number() over
+          (partition by qid order by s6 desc, nid) as rk
+        from cos_all
+      ) where rk <= 5
+    )
+    select q.vec_id as qid,
+           cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+           cast(coalesce(h.n_hits, 0) * 20 as bigint) as recall_pct
+    from (select vec_id from embeddings where vec_id < 20) q
+    left join (
+      select l.qid, count(*) as n_hits
+      from lsh5 l join brute5 b on l.qid = b.qid and l.nid = b.nid
+      group by l.qid
+    ) h on h.qid = q.vec_id
+    """
+
+
+@q("ann_recall_at5", _ANN_RECALL_SQL)
+def ann_recall_at5(spark, sf_dir):
+    """Index-quality EVALUATION: recall@5 of the production LSH index
+    (similarity.lsh_topk — the same seeded planes ann_lsh_top5 ships)
+    against the exact brute-force top-5 (similarity.cosine_topk, same
+    6dp-rounded deterministic ranking contract). This is the gate a
+    vector-search deployment runs before swapping an index in: the
+    approximate path is only shippable if recall against ground truth
+    clears a bar, and the metric itself must be reproducible — here
+    n_hits is an integer set-intersection size per query, so the
+    driver hash pins it exactly. Queries with NO LSH candidates
+    surface as n_hits=0 rows (left join from the query set — silent
+    misses are the failure mode an eval must never hide). At scale
+    the brute side runs on a SAMPLE of queries (here: the 20-query
+    panel) — ground truth for a panel is affordable even at 10^9
+    vectors while the index serves the full corpus."""
+    from . import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    _ensure_lsh_planes(spark, sf_dir)
+    corpus = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qset = corpus.filter(F.col("id") < 20)
+    lsh = similarity.lsh_topk(corpus, qset, k=5, n_planes=8, n_tables=4, dim=64).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    brute = similarity.cosine_topk(corpus, qset, k=5).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hits = lsh.join(brute, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        qset.select(F.col("id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 20).cast("long").alias("recall_pct"),
+        )
+    )
