@@ -544,6 +544,43 @@ def _extraction_queries() -> dict[str, Callable]:
         )
         return structure.turn_audit(turns)
 
+    def x_ckpt_lineage(spark, sf_dir):
+        """Checkpoint/lineage sidecar on the driver's hash gate — the
+        north rule's 'resumable from checkpoint with per-partition
+        lineage + metrics' made driver-visible. The query runs the
+        production checkpointed job (ckpt.run_with_checkpoint) TWICE
+        with the same run_id: run 1 extracts and writes the bucketed
+        span output + 64 lineage rows; run 2 must skip every bucket
+        (the resume anti-join finds all 64 done). The returned rows
+        are the lineage table's per-bucket metrics for non-empty
+        buckets, with resume_skipped_all carrying run 2's outcome —
+        the oracle independently recomputes rows_out/splits/merges
+        per bucket from the partitioned span output (hive partition
+        column pk) and pins the resume flag true, so a green row
+        certifies write → lineage → resume-skip end to end. rows_in
+        and the xxhash64 checksum stay out of the contract (DuckDB
+        has no Spark-compatible xxhash64); test_ckpt covers them."""
+        import os
+        import shutil
+
+        from xtract import ckpt, mat
+
+        base = mat.path(sf_dir, "ckpt_run")
+        shutil.rmtree(base, ignore_errors=True)
+        out, ck = os.path.join(base, "spans"), os.path.join(base, "lineage")
+        tr = _derived_transcripts(spark, sf_dir)
+        ckpt.run_with_checkpoint(spark, tr, out, ck, run_id="r1")
+        r2 = ckpt.run_with_checkpoint(spark, tr, out, ck, run_id="r1")
+        ok = r2["partitions_done"] == 0 and r2["partitions_skipped"] == 64
+        lin = spark.read.parquet(ck)
+        return lin.filter(F.col("rows_out") > 0).select(
+            F.col("partition_key").cast("long").alias("pk"),
+            "rows_out",
+            "splits",
+            "merges",
+            F.lit(ok).alias("resume_skipped_all"),
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -560,6 +597,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_stream_join": x_stream_join,
         "x_stream_enrich": x_stream_enrich,
         "x_turn_audit": x_turn_audit,
+        "x_ckpt_lineage": x_ckpt_lineage,
     }
 
 
@@ -577,12 +615,12 @@ _SAMPLE_FIRST = [
     "x_exam_info", "x_analyze_groups", "x_pdf_extract", "x_assemble",
     "x_assemble_sparse", "x_assemble_stream", "x_assemble_unordered",
     "x_dup_spans", "x_rank1_divergence", "x_stream_join",
-    "x_stream_enrich", "x_turn_audit",
+    "x_stream_enrich", "x_turn_audit", "x_ckpt_lineage",
     # new/changed this round
-    "longdoc_dedup", "table_profile", "table_profile_approx",
+    "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
-    "session_events_native", "length_quantiles_approx", "vocab_oov",
+    "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
@@ -590,14 +628,19 @@ _SAMPLE_FIRST = [
     "k_anonymity_audit", "decayed_engagement", "int8_ann_top3",
     "edit_dist_verify", "triangle_support", "trend_slope",
     "drift_l1", "hist_totalprice", "ohlc_hourly", "ann_recall_at5",
+    "chunk_overlap",
     # r3 post-battery rows rotate to the tail this session
     # (dedup_incremental, rollup_counts, pivot_lang_counts,
     # sample_per_source, funnel_steps, props_json_stats, hopping_30m,
     # length_rank_stats): each is replica-PASS in both the r3 judge's
     # run and this round's verify_all, with native
     # grouping-set/pivot/window plan shapes pinned by
-    # tools/explain_audit; the slots go to the eight session-4
+    # tools/explain_audit; the slots go to the ten session-4
     # additions above so every new-this-round row gets driver signal.
+    # The two approx twins (table_profile_approx,
+    # length_quantiles_approx) also rotate out: their contract IS a
+    # Spark-side gate pinned true by the oracle, their exact twins
+    # stay sampled, and both are replica-PASS.
     # heavyweight scale operators (dedup / similarity / skew / asof)
     "pagerank_dupgraph",
     # j4_rank1_assignment rotated to the tail for pagerank_dupgraph:
@@ -813,6 +856,17 @@ def _extraction_oracles() -> dict[str, str]:
                    s.type_avg_cents,
                    floor(e.value * 100) > s.type_avg_cents as above_avg
             from events e join s using (event_type)
+        """,
+        "x_ckpt_lineage": f"""
+            select cast(pk as bigint) as pk,
+                   cast(count(*) as bigint) as rows_out,
+                   cast(count_if(split_from_merged) as bigint) as splits,
+                   cast(count_if(has_image) as bigint) as merges,
+                   true as resume_skipped_all
+            from read_parquet(
+              '{mat.path("sf0.01", "ckpt_run")}/spans/*/*.parquet',
+              hive_partitioning = true)
+            group by pk
         """,
         "x_turn_audit": f"""
             with f as (

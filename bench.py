@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "triangle_support",
     "ohlc_hourly",
     "ann_recall_at5",
+    "chunk_overlap",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -232,3 +232,25 @@ def test_ann_recall_consistent_with_components(spark):
         assert 0 <= r.n_hits <= 5
         assert r.recall_pct == r.n_hits * 20
         assert r.n_hits == inter.get(r.qid, 0)
+
+
+def test_chunk_overlap_matches_python(spark):
+    import hashlib
+
+    rows = q.QUERIES["chunk_overlap"](spark, SF).collect()
+    docs = q.t(spark, SF, "documents").select("doc_id", "text").collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_words, r.chunk_md5) for r in rows}
+    exp = {}
+    for d in docs:
+        ws = (d.text if d.text is not None else "").split(" ")
+        nw = len(ws)
+        n_chunks = 1 if nw <= q.CHUNK_W else 1 + -(-(nw - q.CHUNK_W) // q.CHUNK_S)
+        for ci in range(n_chunks):
+            chunk = ws[ci * q.CHUNK_S : ci * q.CHUNK_S + q.CHUNK_W]
+            exp[(d.doc_id, ci)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == exp
+    # overlap property: consecutive chunks share CHUNK_W - CHUNK_S words
+    assert any(k[1] > 0 for k in exp), "corpus too short to exercise overlap"

@@ -5405,3 +5405,74 @@ def ann_recall_at5(spark, sf_dir):
             (F.coalesce("n_hits", F.lit(0)) * 20).cast("long").alias("recall_pct"),
         )
     )
+
+
+# =====================================================================
+# Overlapping document chunking (RAG / context-window prep): pure
+# map-side explode, deterministic boundaries, content-certified chunks
+# =====================================================================
+CHUNK_W = 50  # words per chunk
+CHUNK_S = 40  # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+@q(
+    "chunk_overlap",
+    f"""
+    with d as (
+      select doc_id, string_split(text, ' ') as ws from documents
+    ),
+    b as (
+      select doc_id, ws, cast(len(ws) as bigint) as nw from d
+    ),
+    c as (
+      select doc_id, ws, nw,
+             unnest(range(0, case when nw <= {CHUNK_W} then 1
+                          else 1 + (nw - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+                          end)) as ci
+      from b
+    )
+    select doc_id, cast(ci as bigint) as chunk_idx,
+           cast(len(list_slice(ws, ci * {CHUNK_S} + 1,
+                               ci * {CHUNK_S} + {CHUNK_W})) as bigint) as n_words,
+           md5(array_to_string(list_slice(ws, ci * {CHUNK_S} + 1,
+                                          ci * {CHUNK_S} + {CHUNK_W}), ' '))
+             as chunk_md5
+    from c
+    """,
+)
+def chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-width CHUNKING of documents — the
+    retrieval/context-window prep pass (chunk size CHUNK_W words,
+    stride CHUNK_S, so consecutive chunks share CHUNK_W−CHUNK_S words
+    of context). Boundaries are pure integer arithmetic on the word
+    array — n_chunks = 1 + ceil((nw−W)/S) via integer division, the
+    last chunk may be short, every doc (even empty) yields chunk 0 —
+    and each chunk's CONTENT is certified by an md5 over the joined
+    words, so the driver hash pins the full chunk text without
+    shipping it. The plan is scan → split once → explode(sequence) →
+    project: ZERO shuffles, embarrassingly parallel, output rows ≈
+    corpus_words/S. At 10^12 turns this is the same no-exchange shape
+    as the fused extraction kernel — throughput scales with executors
+    with no shuffle to rebalance. Emitting (doc_id, chunk_idx) makes
+    chunks addressable for downstream embedding/indexing without
+    re-chunking."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    b = d.select("doc_id", "ws", F.size("ws").cast("long").alias("nw"))
+    n_chunks = F.when(F.col("nw") <= CHUNK_W, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(nw - {CHUNK_W} + {CHUNK_S} - 1) div {CHUNK_S}").cast("int")
+    )
+    c = b.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("ci"),
+    )
+    chunk = F.slice("ws", F.col("ci") * CHUNK_S + 1, CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
