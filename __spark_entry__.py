@@ -626,9 +626,15 @@ _SAMPLE_FIRST = [
     "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
     "word_pmi", "outlier_3sigma", "snapshot_diff",
     "k_anonymity_audit", "decayed_engagement", "int8_ann_top3",
-    "edit_dist_verify", "triangle_support", "trend_slope",
-    "drift_l1", "hist_totalprice", "ohlc_hourly", "ann_recall_at5",
+    "edit_dist_verify", "triangle_support",
+    "drift_l1", "ohlc_hourly", "ann_recall_at5",
     "chunk_overlap",
+    # session-5 flagships: the exact-similarity-join and
+    # physical-layout rows carry the newest scale arguments, so they
+    # take driver slots; trend_slope and hist_totalprice rotate to the
+    # tail — both replica-PASS with exact Python-recomputation tests
+    # (test_session4_ops) pinning their integer contracts.
+    "prefix_jaccard_pairs", "zonemap_audit",
     # r3 post-battery rows rotate to the tail this session
     # (dedup_incremental, rollup_counts, pivot_lang_counts,
     # sample_per_source, funnel_steps, props_json_stats, hopping_30m,

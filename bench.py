@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "ohlc_hourly",
     "ann_recall_at5",
     "chunk_overlap",
+    "prefix_jaccard_pairs",
+    "zonemap_audit",
+    "ffill_last_price",
+    "decile_stats",
+    "inverted_postings",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

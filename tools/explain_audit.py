@@ -693,6 +693,34 @@ def main() -> None:
         )
     )
 
+    # ---- prefix-filtered exact Jaccard: equi-joins only -------------
+    pj = qmod.QUERIES["prefix_jaccard_pairs"](spark, "/root/testdata/sf0.001")
+    p = plan_of(pj)
+    sections.append(
+        (
+            "Prefix-filtered exact set-similarity join (AllPairs/PPJoin)",
+            p,
+            [
+                "The candidate space comes from an equi-join on df-ascending "
+                "PREFIX tokens only (p = |s| − ceil(tau·|s|) + 1 rarest "
+                "tokens per doc), and verification is one array_intersect "
+                "per candidate over per-doc sorted token arrays — every "
+                "join node is a hash equi-join; no CartesianProduct, no "
+                "BroadcastNestedLoopJoin. That is what bounds candidate "
+                "volume by sum_t(prefix_df(t)²) instead of |docs|².",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "prefix_jaccard_pairs: candidate generation is equi-join only "
+            "(no cartesian/BNL node)",
+            len(_re2.findall(r"^\(\d+\) CartesianProduct", p, _re2.M)) == 0
+            and len(_re2.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, _re2.M))
+            == 0,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

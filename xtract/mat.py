@@ -66,6 +66,31 @@ def materialize(
     return spark.read.parquet(p)
 
 
+def materialize_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    partition_cols: list[str],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Same freshness/cross-scale contract as :func:`materialize`, but
+    the write is hive-partitioned by ``partition_cols`` — used when the
+    physical LAYOUT is itself the artifact under test (partition-dir
+    pruning is Spark's file-skipping mechanism, so a zone-map audit
+    must run over a genuinely partitioned dataset). The DuckDB oracle
+    reads it with ``read_parquet(glob, hive_partitioning=1)``."""
+    p = path(sf_dir, name)
+    if p not in _written:
+        op = path(ORACLE_SF, name)
+        if p != op and op not in _written:
+            import shutil
+
+            shutil.rmtree(op, ignore_errors=True)
+        build().write.mode("overwrite").partitionBy(*partition_cols).parquet(p)
+        _written.add(p)
+    return spark.read.parquet(p)
+
+
 def materialize_text(
     spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
 ) -> str:

@@ -5476,3 +5476,406 @@ def chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# =====================================================================
+# Exact set-similarity join via prefix filtering (AllPairs / PPJoin
+# family): the deterministic exact complement to MinHash banding
+# =====================================================================
+PJ_TAU_NUM, PJ_TAU_DEN = 1, 2  # Jaccard threshold tau = 1/2
+PJ_SLICE = 3  # doc_id % PJ_SLICE == 0 keeps the driver compare fast
+
+
+@q(
+    "prefix_jaccard_pairs",
+    f"""
+    with tok as (
+      select distinct doc_id, lower(words[i] || ' ' || words[i+1]) as term
+      from (select doc_id, string_split(text, ' ') as words
+            from documents where doc_id % {PJ_SLICE} = 0),
+           lateral (select unnest(generate_series(1, len(words)-1)) as i)
+      where len(words) >= 2
+    ),
+    sz as (
+      select doc_id, cast(count(*) as bigint) as sz from tok group by doc_id
+    ),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as inter_sz
+      from tok a join tok b on a.term = b.term and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select doc_a, doc_b, inter_sz,
+           sa.sz as size_a, sb.sz as size_b,
+           cast(inter_sz * 1000000 // (sa.sz + sb.sz - inter_sz) as bigint)
+             as jac_ppm
+    from inter
+    join sz sa on inter.doc_a = sa.doc_id
+    join sz sb on inter.doc_b = sb.doc_id
+    where {PJ_TAU_DEN} * inter_sz
+          >= {PJ_TAU_NUM} * (sa.sz + sb.sz - inter_sz)
+    """,
+)
+def prefix_jaccard_pairs(spark, sf_dir):
+    """EXACT Jaccard similarity join (bigram sets, tau = 1/2) via
+    PREFIX FILTERING — the AllPairs/PPJoin family (Bayardo et al.
+    WWW'07, Xiao et al. WWW'08), the deterministic exact complement to
+    the probabilistic MinHash band join. Tokens get a global total
+    order by ascending document frequency (rarest first, term string
+    as tie-break); each doc keeps only its prefix of
+    p = |s| − ceil(tau·|s|) + 1 rarest tokens, and the candidate join
+    runs on prefix tokens only — the prefix-filter theorem guarantees
+    any pair with Jaccard ≥ tau shares a prefix token, so no true pair
+    is lost, while the rarest-first order makes candidate buckets the
+    SMALLEST possible (df-ascending prefixes are the whole point: a
+    stopword never generates candidates). Verification is one
+    array_intersect per candidate over the per-doc sorted token
+    arrays — no second shuffle explosion. The threshold test is exact
+    integer arithmetic (den·i ≥ num·(sa+sb−i)); jac_ppm is an integer
+    floor-division. The ORACLE is the brute-force all-pairs join, so a
+    green row proves the filter is lossless end to end, not merely
+    self-consistent. At 100 TB: candidate volume is bounded by
+    sum_t(prefix_df(t)^2) with df-ascending prefixes — the standard
+    web-scale exact-dedup shape; MinHash (minhash128_pairs) remains
+    the recall path when tau must go lower. Reference analogue: exact
+    duplicate-question keying (question_merger.py:568-609) is the
+    tau=1 degenerate case."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PJ_SLICE == 0)
+    tok = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words)-1), i ->"
+                    " lower(concat(element_at(words, i), ' ',"
+                    " element_at(words, i+1))))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    dfreq = tok.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    ranked = tok.join(dfreq, "term").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "term")
+        ),
+    )
+    # prefix length p = s - ceil(tau*s) + 1, all-integer
+    ceil_tau_s = F.expr(
+        f"(({PJ_TAU_NUM} * sz) + {PJ_TAU_DEN} - 1) div {PJ_TAU_DEN}"
+    )
+    sized = ranked.withColumn(
+        "sz",
+        F.count("*").over(Window.partitionBy("doc_id")).cast("long"),
+    )
+    pref = sized.filter(
+        F.col("pos") <= F.col("sz") - ceil_tau_s + 1
+    ).select("doc_id", "term")
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.term") == F.col("pb.term"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("terms"),
+        F.count("*").cast("long").alias("sz"),
+    )
+    joined = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("terms").alias("terms_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("terms").alias("terms_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter_sz",
+            F.size(F.array_intersect("terms_a", "terms_b")).cast("long"),
+        )
+    )
+    return (
+        joined.filter(
+            PJ_TAU_DEN * F.col("inter_sz")
+            >= PJ_TAU_NUM * (F.col("size_a") + F.col("size_b") - F.col("inter_sz"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_sz",
+            "size_a",
+            "size_b",
+            F.expr(
+                "(inter_sz * 1000000) div (size_a + size_b - inter_sz)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+# =====================================================================
+# Zone-map / file-skipping layout audit: per-partition min-max ranges
+# and their overlap — the physical-layout half of the 100-TB story
+# =====================================================================
+ZONE_N = 8
+_ZONES_GLOB = "/tmp/xtract_mat/sf0.01/zones/**/*.parquet"
+
+
+@q(
+    "zonemap_audit",
+    f"""
+    with z as (
+      select layout, cast(bucket as bigint) as bucket,
+             cast(count(*) as bigint) as n_rows,
+             cast(min(doc_id) as bigint) as min_id,
+             cast(max(doc_id) as bigint) as max_id
+      from read_parquet('{_ZONES_GLOB}', hive_partitioning = 1)
+      group by 1, 2
+    )
+    select a.layout, a.bucket, a.n_rows, a.min_id, a.max_id,
+           cast(count_if(b.bucket is not null) as bigint) as n_overlaps
+    from z a left join z b
+      on a.layout = b.layout and a.bucket <> b.bucket
+     and a.min_id <= b.max_id and b.min_id <= a.max_id
+    group by 1, 2, 3, 4, 5
+    """,
+)
+def zonemap_audit(spark, sf_dir):
+    """Physical-layout ZONE-MAP audit: materializes the same rows
+    under two hive-partitioned layouts — 'range' (bucket =
+    doc_id div ceil((max+1)/N), contiguous key ranges) and 'mod'
+    (bucket = doc_id % N, round-robin scatter) — then reports each
+    partition's min/max key and how many sibling partitions its
+    range OVERLAPS. min/max-per-file is exactly what parquet zone
+    maps / Iceberg manifests / partition pruning consult: with the
+    range layout a point or range predicate on doc_id prunes to 1
+    file (n_overlaps = 0 certifies pairwise-disjoint ranges); with
+    the mod layout every file spans the whole key domain
+    (n_overlaps = N−1) and NO file is ever skippable. At 100 TB this
+    difference is the scan bill: clustering the write (range
+    partition / sort) buys predicate-driven file skipping for free,
+    and this audit is the job you run to prove a table's layout
+    still has it. Both engines read the same partitioned bytes
+    (Spark partition discovery vs DuckDB hive_partitioning), so the
+    hash also certifies the hive round-trip. The overlap self-join
+    runs on the N-row summary, never on data rows — audit cost is
+    O(files), not O(rows)."""
+    from . import mat
+
+    def build():
+        d = t(spark, sf_dir, "documents").select("doc_id")
+        mx = d.agg(F.max("doc_id").alias("mx"))
+        rng = (
+            d.crossJoin(F.broadcast(mx))
+            .select(
+                "doc_id",
+                F.lit("range").alias("layout"),
+                F.expr(f"doc_id div ((mx + {ZONE_N}) div {ZONE_N})")
+                .cast("long")
+                .alias("bucket"),
+            )
+        )
+        mod = d.select(
+            "doc_id",
+            F.lit("mod").alias("layout"),
+            (F.col("doc_id") % ZONE_N).cast("long").alias("bucket"),
+        )
+        return rng.unionByName(mod)
+
+    z = mat.materialize_partitioned(
+        spark, sf_dir, "zones", ["layout", "bucket"], build
+    )
+    agg = z.groupBy("layout", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+    a, b = agg.alias("a"), agg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.bucket") != F.col("b.bucket"))
+            & (F.col("a.min_id") <= F.col("b.max_id"))
+            & (F.col("b.min_id") <= F.col("a.max_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.n_rows").alias("n_rows"),
+            F.col("a.min_id").alias("min_id"),
+            F.col("a.max_id").alias("max_id"),
+        )
+        .agg(
+            F.count_if(F.col("b.bucket").isNotNull())
+            .cast("long")
+            .alias("n_overlaps")
+        )
+    )
+
+
+# =====================================================================
+# Forward-fill (last-observation-carried-forward) — the time-series
+# gap-fill window every event warehouse needs
+# =====================================================================
+@q(
+    "ffill_last_price",
+    """
+    select event_id, user_id,
+           last_value(case when event_type = 'purchase'
+                           then cast(floor(value * 100) as bigint) end
+                      ignore nulls)
+             over (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row)
+             as last_price_c
+    from events
+    where user_id % 7 = 0
+    """,
+)
+def ffill_last_price(spark, sf_dir):
+    """Forward-fill / last-observation-carried-forward: every event
+    carries the user's most recent observed purchase price (integer
+    cents), NULL until the first purchase — the canonical time-series
+    gap-fill. One window over ONE user_id exchange, ordered by
+    (ts, event_id) so ties are deterministic in both engines; rows
+    before any observation stay NULL (an honest fill never invents a
+    leading value). Spark F.last(expr, ignorenulls=True) vs DuckDB
+    last_value(... ignore nulls) — the per-event output (not an agg)
+    pins the full window semantics row by row on the hash gate. At
+    100 TB: partition by user, running-state window — the same
+    single-shuffle shape as sessionization; no join, no second
+    exchange. The user_id % 7 slice keeps the driver compare small;
+    the shape is corpus-size-free."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("event_type") == "purchase", _cents(F.col("value")))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(obs, ignorenulls=True).over(w).alias("last_price_c"),
+    )
+
+
+# =====================================================================
+# Equal-frequency bucketing (ntile) — decile profile of a measure
+# =====================================================================
+@q(
+    "decile_stats",
+    """
+    with d as (
+      select ntile(10) over (order by n_chars, doc_id) as decile, n_chars
+      from documents
+    )
+    select cast(decile as bigint) as decile,
+           cast(count(*) as bigint) as n_docs,
+           cast(min(n_chars) as bigint) as min_chars,
+           cast(max(n_chars) as bigint) as max_chars,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from d group by decile
+    """,
+)
+def decile_stats(spark, sf_dir):
+    """Equal-frequency bucketing: ntile(10) over (n_chars, doc_id) —
+    the doc_id tie-break makes the bucket assignment a total order, so
+    both engines split identical ties identically (ntile without a
+    tie-break is nondeterministic under equal keys and would flap the
+    hash). Per-decile count/min/max/sum profiles the length
+    distribution — the input-side twin of length_quantiles (which
+    reports cut points; this reports mass per bucket). NOTE the honest
+    scale caveat: a global ntile is a single-partition window; at
+    100 TB you swap it for the two-phase global rank (range-partition
+    sort + per-partition offsets from a broadcast partition-count
+    scan — the train_order_shards pattern) or the approx-quantile
+    bucketing twin (length_quantiles_approx). The decile AGGREGATE
+    output is 10 rows either way."""
+    d = t(spark, sf_dir, "documents").select(
+        F.ntile(10)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("decile"),
+        "n_chars",
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+# =====================================================================
+# Inverted-index construction as aggregation: ordered posting lists,
+# content-certified by digest
+# =====================================================================
+@q(
+    "inverted_postings",
+    """
+    with tok as (
+      select distinct doc_id, lower(w) as term
+      from (select doc_id, unnest(string_split(text, ' ')) as w
+            from documents)
+      where w <> ''
+    )
+    select term, cast(count(*) as bigint) as df,
+           md5(string_agg(cast(doc_id as varchar), ',' order by doc_id))
+             as postings_md5
+    from tok group by term
+    """,
+)
+def inverted_postings(spark, sf_dir):
+    """Inverted-index CONSTRUCTION as a pure aggregation: term →
+    (document frequency, ordered posting list), with the posting list
+    certified by md5 over the comma-joined ascending doc_ids so the
+    driver hash pins every posting without shipping the list. One
+    tokenize-explode-distinct map stage and ONE term-keyed exchange —
+    index building is exactly a groupBy, which is why it scales: each
+    reducer owns a term shard and emits its postings independently
+    (this is the shuffle Lucene/ES segment building does with extra
+    steps). At 100 TB the collect_list per term is bounded by df — the
+    df-cap discipline the winnowing index and tfidf_cosine_pairs
+    already use applies verbatim (cap hot terms or segment their
+    postings); the synthetic 30-word vocab keeps every list small
+    here. sort_array(collect_list) vs string_agg(... order by) makes
+    the order contract explicit in both engines."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.lower("w").alias("term"))
+        .distinct()
+    )
+    return tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
