@@ -623,9 +623,19 @@ _SAMPLE_FIRST = [
     "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
-    "winsorized_stats", "peak_concurrency", "fk_orphan_audit",
-    "word_pmi", "outlier_3sigma", "snapshot_diff",
-    "k_anonymity_audit", "decayed_engagement", "int8_ann_top3",
+    "peak_concurrency", "fk_orphan_audit",
+    "snapshot_diff", "int8_ann_top3",
+    # session-6 additions (all new this session, so they take driver
+    # slots): corpus-frequency boilerplate strip, word-rank fluency,
+    # DSIR importance weights, count-min heavy hitters, Z-order layout
+    "boilerplate_lines", "word_rank_fluency", "dsir_importance",
+    "cms_heavy_hitters", "zorder_layout",
+    # rotated to the tail for the session-6 rows: winsorized_stats,
+    # outlier_3sigma, decayed_engagement, k_anonymity_audit, word_pmi
+    # — each is a single-pass integer agg whose exact semantics are
+    # pinned by a pure recomputation/invariant test in
+    # tests/test_pipeline_ops.py, the lowest cross-engine-risk rows
+    # in the r4 batch.
     "edit_dist_verify", "triangle_support",
     "drift_l1", "ohlc_hourly", "ann_recall_at5",
     "chunk_overlap",

@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "ffill_last_price",
     "decile_stats",
     "inverted_postings",
+    "boilerplate_lines",
+    "word_rank_fluency",
+    "dsir_importance",
+    "cms_heavy_hitters",
+    "zorder_layout",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

@@ -721,6 +721,67 @@ def main() -> None:
         )
     )
 
+    # ---- boilerplate strip: bp set joins back as broadcast ----------
+    bl = qmod.QUERIES["boilerplate_lines"](spark, "/root/testdata/sf0.001")
+    p = plan_of(bl)
+    sections.append(
+        (
+            "Boilerplate-line strip (corpus line-frequency → broadcast "
+            "filter join)",
+            p,
+            [
+                "The line doc-frequency agg shuffles on line content ONCE; "
+                "only the tiny HAVING-filtered boilerplate subset joins "
+                "back, as a BroadcastHashJoin — the corpus never shuffles "
+                "on line content a second time, then reassembles on one "
+                "doc_id exchange.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "boilerplate: bp-set joinback is broadcast (no second "
+            "content shuffle), no cartesian",
+            "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+        )
+    )
+
+    # ---- word-rank fluency / dsir: score tables broadcast -----------
+    for _nm in ("word_rank_fluency", "dsir_importance"):
+        p = plan_of(qmod.QUERIES[_nm](spark, "/root/testdata/sf0.001"))
+        checks.append(
+            (
+                f"{_nm}: per-feature score table joins the token stream "
+                "as a BroadcastHashJoin (corpus shuffles only on doc_id)",
+                "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+            )
+        )
+
+    # ---- CMS: sketch is a fixed-size partial-aggregated groupBy -----
+    cm = qmod.QUERIES["cms_heavy_hitters"](spark, "/root/testdata/sf0.001")
+    p = plan_of(cm)
+    import re as _re3
+
+    checks.append(
+        (
+            "cms: sketch cells built with map-side partial aggregation "
+            "(HashAggregate pairs) and probed via broadcast, no cartesian",
+            len(_re3.findall(r"^\(\d+\) HashAggregate", p, _re3.M)) >= 4
+            and "BroadcastHashJoin" in p
+            and "CartesianProduct" not in p,
+        )
+    )
+
+    # ---- zorder: pure window/agg pipeline, no join at all -----------
+    zo = qmod.QUERIES["zorder_layout"](spark, "/root/testdata/sf0.001")
+    p = plan_of(zo)
+    checks.append(
+        (
+            "zorder layout: join-free plan (windows + union + agg only)",
+            "Join" not in p and "CartesianProduct" not in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -5879,3 +5879,532 @@ def inverted_postings(spark, sf_dir):
             )
         ).alias("postings_md5"),
     )
+
+
+# =====================================================================
+# Corpus-frequency boilerplate-line strip (CCNet / RefinedWeb line
+# filtering): any line shared by >= BP_K distinct documents is
+# boilerplate and ALL its occurrences are removed
+# =====================================================================
+BP_K = 5  # distinct-document threshold for "boilerplate"
+
+# deterministic lined corpus both engines derive independently from
+# `documents`: a per-source nav header + 10-word body chunks + a
+# per-source copyright footer. The header/footer repeat across every
+# doc of a source (real boilerplate, nd ~ docs-per-source); body
+# chunks mostly have nd = 1, with a handful of genuinely repeated
+# spans the rule also (correctly) catches.
+_BP_HDR = "'nav ' || source || ' home about contact'"
+_BP_FTR = "'copyright ' || source || ' all rights reserved'"
+
+
+@q(
+    "boilerplate_lines",
+    f"""
+    with w as (select doc_id, source, string_split(text, ' ') as ws
+               from documents),
+    l as (
+      select doc_id,
+             [{_BP_HDR}]
+             || list_transform(
+                  range(0, cast(ceil(len(ws)/{SPAN_WORDS}.0) as bigint)),
+                  i -> array_to_string(
+                         ws[(i*{SPAN_WORDS}+1):(i*{SPAN_WORDS}+{SPAN_WORDS})], ' '))
+             || [{_BP_FTR}] as ls
+      from w
+    ),
+    c as (
+      select doc_id, i as pos, ls[i+1] as line
+      from (select doc_id, ls,
+                   unnest(range(0, cast(len(ls) as bigint))) as i from l)
+    ),
+    bp as (
+      select line from c group by line
+      having count(distinct doc_id) >= {BP_K}
+    ),
+    f as (
+      select c.*, bp.line is not null as is_bp
+      from c left join bp using (line)
+    )
+    select doc_id,
+           cast(count(*) as bigint) as lines_total,
+           cast(count_if(not is_bp) as bigint) as lines_kept,
+           cast(count_if(is_bp) as bigint) as lines_removed,
+           md5(string_agg(line, chr(10) order by pos)
+               filter (not is_bp)) as clean_md5
+    from f group by doc_id
+    """,
+)
+def boilerplate_lines(spark, sf_dir):
+    """Corpus-level boilerplate-LINE removal — the CCNet/RefinedWeb
+    rule that differs from span_dedup_corpus in kind: span dedup keeps
+    the FIRST occurrence of a repeated span, while the boilerplate
+    rule drops EVERY occurrence of any line appearing in >= BP_K=5
+    distinct documents (nav bars, cookie banners, copyright footers
+    survive first-occurrence dedup but are noise in every copy). Both
+    engines derive the same lined corpus deterministically from
+    `documents` (per-source header/footer + 10-word body
+    chunks), so corpus construction itself is cross-checked. Plan:
+    one groupBy(line) with countDistinct builds the (small) line
+    doc-frequency table; only the HAVING-filtered boilerplate subset
+    — a tiny fraction of distinct lines — joins back, as a broadcast
+    left join, so the corpus never shuffles on line content a second
+    time; one groupBy(doc_id) reassembles. At 100 TB the line key is
+    xxhash64(line) and the boilerplate set stays broadcastable by
+    construction (it's bounded by lines repeated across >= BP_K
+    docs, the heavy tail every real crawl has). clean_md5 puts the
+    exact reconstruction on the driver's hash gate."""
+    d = t(spark, sf_dir, "documents")
+    hdr = F.concat(F.lit("nav "), F.col("source"), F.lit(" home about contact"))
+    ftr = F.concat(
+        F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")
+    )
+    c = (
+        d.select("doc_id", F.split("text", " ").alias("ws"), hdr.alias("h"), ftr.alias("f"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.concat(F.array("h"), F.expr(_SPAN_CHUNKS), F.array("f"))
+            ).alias("pos", "line"),
+        )
+    )
+    bp = (
+        c.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BP_K)
+        .select("line", F.lit(True).alias("is_bp"))
+    )
+    j = c.join(F.broadcast(bp), "line", "left").withColumn(
+        "bpf", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(F.when(~F.col("bpf"), F.struct("pos", "line")))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("lines_total"),
+        F.count_if(~F.col("bpf")).cast("long").alias("lines_kept"),
+        F.count_if(F.col("bpf")).cast("long").alias("lines_removed"),
+        F.when(
+            F.count_if(~F.col("bpf")) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(kept_struct, lambda s: s["line"]), "\n"
+                )
+            ),
+        ).alias("clean_md5"),
+    )
+
+
+# =====================================================================
+# Word-rank fluency score: a KenLM-perplexity-filter proxy that stays
+# exact-integer (mean corpus-frequency RANK of a document's tokens)
+# =====================================================================
+@q(
+    "word_rank_fluency",
+    """
+    with tok as (
+      select doc_id, lower(w) as word
+      from documents, unnest(string_split(text, ' ')) as u(w)
+      where w <> ''
+    ),
+    rk as (
+      select word, rank() over (order by cnt desc, word) as r
+      from (select word, count(*) as cnt from tok group by word)
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_toks,
+           cast((sum(r) * 1000) // count(*) as bigint) as mean_rank_milli
+    from tok join rk using (word)
+    group by doc_id
+    """,
+)
+def word_rank_fluency(spark, sf_dir):
+    """Perplexity-filter PROXY that needs no float log-probs: every
+    token is scored by its corpus frequency RANK (1 = most common;
+    ties broken by word so both engines rank identically), and a
+    document's fluency score is the mean rank in milli-units —
+    documents full of rare words score high (suspect), common-word
+    prose scores low. This is the integer-exact skeleton of the
+    KenLM/CCNet perplexity gate: corpus-level token statistics →
+    tiny per-word score table → broadcast join back to the token
+    stream → one doc_id agg. The rank window runs on the AGGREGATED
+    vocab (|V| rows, not corpus rows) — at 100 TB a BPE/word vocab is
+    at most a few million rows, still a single-executor sort, and the
+    score table stays broadcastable while the corpus side never
+    shuffles on anything but doc_id."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.lower("w").alias("word"))
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    rk = vocab.select(
+        "word",
+        F.rank().over(Window.orderBy(F.col("cnt").desc(), "word")).alias("r"),
+    )
+    return (
+        tok.join(F.broadcast(rk), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.expr("(sum(r) * 1000) div count(*)")
+            .cast("long")
+            .alias("mean_rank_milli"),
+        )
+    )
+
+
+# =====================================================================
+# DSIR hashed-feature importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# paper): score raw docs by target-vs-raw hashed-unigram ratios
+# =====================================================================
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+@q(
+    "dsir_importance",
+    f"""
+    with tok as (
+      select doc_id, lang,
+             cast(('0x' || substr(md5(lower(w)), 1, 8)) as bigint)
+               % {DSIR_BUCKETS} as bkt
+      from documents, unnest(string_split(text, ' ')) as u(w)
+      where w <> ''
+    ),
+    feat as (
+      select bkt,
+             cast(count(*) as bigint) as raw_cnt,
+             cast(count_if(lang = '{DSIR_TARGET_LANG}') as bigint) as tgt_cnt
+      from tok group by bkt
+    ),
+    r as (
+      select bkt,
+             ((tgt_cnt + 1) * 1000000) // (raw_cnt + 1) as ratio_ppm
+      from feat
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_toks,
+           cast(sum(ratio_ppm) // count(*) as bigint) as imp_ppm
+    from tok join r using (bkt)
+    group by doc_id
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights over hashed unigram features
+    (Xie et al. 2023): bucket every token into 1024 hashed
+    feature bins (cross-engine md5-prefix hash, the split_train_val
+    idiom), estimate per-bucket target-vs-raw frequency ratios with
+    add-one smoothing (target = lang='en' docs), and
+    score each document by the mean ratio of its tokens — the
+    integer-ppm monotone twin of DSIR's sum-of-log-ratios (we rank by
+    it, never exponentiate, so ppm preserves the selection order for
+    single-feature scores). Plan: ONE token-stream groupBy(bkt)
+    builds the 1024-row feature table — fixed size
+    regardless of corpus scale — which broadcasts back onto the token
+    stream; the corpus shuffles only on doc_id for the final agg. At
+    100 TB this is exactly the DSIR recipe: the feature model is
+    O(buckets), not O(corpus), and scoring is embarrassingly
+    parallel."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.lower("w")), 1, 8), 16, 10)
+                .cast("long")
+                % DSIR_BUCKETS
+            ).alias("bkt"),
+        )
+    )
+    feat = tok.groupBy("bkt").agg(
+        F.count("*").cast("long").alias("raw_cnt"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG)
+        .cast("long")
+        .alias("tgt_cnt"),
+    )
+    r = feat.select(
+        "bkt",
+        F.expr("((tgt_cnt + 1) * 1000000) div (raw_cnt + 1)").alias(
+            "ratio_ppm"
+        ),
+    )
+    return (
+        tok.join(F.broadcast(r), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.expr("sum(ratio_ppm) div count(*)")
+            .cast("long")
+            .alias("imp_ppm"),
+        )
+    )
+
+
+# =====================================================================
+# Count-Min sketch heavy hitters: the streaming-sketch family member
+# (bloom = membership, HLL = cardinality, CMS = frequency) as a pure
+# fixed-size aggregation, with its one-sided error driver-certified
+# =====================================================================
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(word_expr: str, r: int, hexcast: str) -> str:
+    """Cross-engine md5-prefix bucket for CMS row ``r`` (the
+    split_train_val hash idiom, salted per row)."""
+    return (
+        f"cast({hexcast.format(h=f'md5({chr(39)}cms{r}#{chr(39)} || {word_expr})')} "
+        f"as bigint) % {CMS_WIDTH}"
+    )
+
+
+_CMS_DUCK_HEX = "('0x' || substr({h}, 1, 8))"
+_CMS_SPARK_HEX = "conv(substr({h}, 1, 8), 16, 10)"
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    with tok as (
+      select lower(w) as word
+      from documents, unnest(string_split(text, ' ')) as u(w)
+      where w <> ''
+    ),
+    tb as (
+      select word,
+             {", ".join(_cms_bucket_sql("word", r, _CMS_DUCK_HEX) + f" as b{r}" for r in range(CMS_DEPTH))}
+      from tok
+    ),
+    cells as (
+      select r, bkt, cast(count(*) as bigint) as cell
+      from (
+        {" union all ".join(f"select {r} as r, b{r} as bkt from tb" for r in range(CMS_DEPTH))}
+      ) group by r, bkt
+    ),
+    exact as (
+      select word, cast(count(*) as bigint) as exact_cnt,
+             min(b0) as b0, min(b1) as b1, min(b2) as b2, min(b3) as b3
+      from tb group by word
+    ),
+    top as (
+      select * from (
+        select *, row_number() over (order by exact_cnt desc, word) as rn
+        from exact
+      ) where rn <= {CMS_TOPK}
+    ),
+    est as (
+      select t.word, t.exact_cnt, min(c.cell) as cms_est
+      from (
+        {" union all ".join(f"select word, exact_cnt, {r} as r, b{r} as bkt from top" for r in range(CMS_DEPTH))}
+      ) t join cells c on t.r = c.r and t.bkt = c.bkt
+      group by t.word, t.exact_cnt
+    )
+    select word, exact_cnt, cms_est,
+           cast((cms_est - exact_cnt) * 1000000 // exact_cnt as bigint)
+             as over_ppm
+    from est
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built as a pure
+    fixed-size aggregation, completing the sketch family (bloom =
+    membership, HLL = cardinality, CMS = point frequency): each token
+    lands in DEPTH=4 salted md5 buckets of WIDTH=256 and the sketch is
+    one groupBy over (row, bucket) — 1024 cells TOTAL regardless of
+    corpus size, fully map-side combinable, mergeable across
+    partitions/days by cell-wise addition. The top-20 exact heavy
+    hitters are then estimated from the sketch (min over rows) and the
+    driver's hash certifies BOTH CMS guarantees end-to-end:
+    cms_est >= exact always (one-sided error), and the exact
+    overcount in ppm. At 100 TB the exact-count side is the thing you
+    can't afford — in production the sketch IS the frequency oracle
+    and this query is the calibration job you run on a sample to pick
+    (depth, width); the sketch side costs one fixed-size shuffle."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.lower("w").alias("word"))
+    )
+    bsel = [
+        F.expr(_cms_bucket_sql("word", r, _CMS_SPARK_HEX)).alias(f"b{r}")
+        for r in range(CMS_DEPTH)
+    ]
+    tb = tok.select("word", *bsel)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), F.col(f"b{r}").alias("bkt"))
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        tb.select(F.explode(pairs).alias("s"))
+        .select(F.col("s.r").alias("r"), F.col("s.bkt").alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+    exact = tb.groupBy("word").agg(
+        F.count("*").cast("long").alias("exact_cnt"),
+        *[F.min(f"b{r}").alias(f"b{r}") for r in range(CMS_DEPTH)],
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), "word")
+            ),
+        )
+        .filter(F.col("rn") <= CMS_TOPK)
+        .drop("rn")
+    )
+    probes = top.select(
+        "word",
+        "exact_cnt",
+        F.explode(pairs).alias("s"),
+    ).select("word", "exact_cnt", F.col("s.r").alias("r"), F.col("s.bkt").alias("bkt"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bkt"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        F.expr("((cms_est - exact_cnt) * 1000000) div exact_cnt")
+        .cast("long")
+        .alias("over_ppm"),
+    )
+
+
+# =====================================================================
+# Z-order (Morton) multi-dimensional clustering — the Delta/Iceberg
+# OPTIMIZE ZORDER layout decision, measured: file-level min/max spans
+# under 1-D sort vs Z-order interleaving
+# =====================================================================
+ZORD_BITS = 8  # 256 rank cells per dimension
+ZORD_FILES = 32
+
+
+def _zkey_expr(divop: str) -> str:
+    """Bit-interleave two ZORD_BITS-bit ranks (rx, ry) into a Morton
+    key using only integer div/mod arithmetic, so the identical
+    formula runs on Spark (``div``) and DuckDB (``//``)."""
+    terms = []
+    for i in range(ZORD_BITS):
+        terms.append(f"(((rx {divop} {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"(((ry {divop} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_layout",
+    f"""
+    with e as (
+      select event_id, user_id as x,
+             cast(floor(value * 100) as bigint) as y
+      from events
+    ),
+    rk as (
+      select event_id, x, y,
+             ntile({1 << ZORD_BITS}) over (order by x, event_id) - 1 as rx,
+             ntile({1 << ZORD_BITS}) over (order by y, event_id) - 1 as ry
+      from e
+    ),
+    z as (
+      select *, {_zkey_expr('//')} as zkey from rk
+    ),
+    fil as (
+      select x, y,
+             ntile({ZORD_FILES}) over (order by x, event_id) as lin_f,
+             ntile({ZORD_FILES}) over (order by zkey, event_id) as z_f
+      from z
+    ),
+    both_layouts as (
+      select 'linear' as layout, lin_f as file_id, x, y from fil
+      union all
+      select 'zorder' as layout, z_f as file_id, x, y from fil
+    )
+    select layout, cast(file_id as bigint) as file_id,
+           cast(count(*) as bigint) as n_rows,
+           cast(min(x) as bigint) as x_min, cast(max(x) as bigint) as x_max,
+           cast(min(y) as bigint) as y_min, cast(max(y) as bigint) as y_max
+    from both_layouts group by layout, file_id
+    """,
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order / Morton-curve clustering (the public Delta Lake
+    ``OPTIMIZE ZORDER BY`` / Iceberg sort-order technique), with the
+    layout QUALITY measured the way a scan planner sees it: rows are
+    assigned to 32 files either by a 1-D sort on x (user_id) or by the
+    interleaved Morton key over (x, y=value-cents) ranks, and the
+    query emits each file's min/max zone-map entry per dimension. The
+    driver hash pins the whole layout decision: under 'linear', x
+    spans are tiny but every file covers the full y domain (a y
+    predicate can never skip a file); under 'zorder', BOTH spans are
+    bounded, so range predicates on EITHER dimension prune files —
+    that is the entire point of multi-dimensional clustering and this
+    is the audit that proves a table still has it. The Morton key is
+    pure integer div/mod arithmetic (identical on both engines, no
+    float, no UDF). Local plan uses exact global ntile ranks so the
+    oracle is exact; at 100 TB you'd swap ntile for a broadcast
+    boundary table from approxQuantile (256 boundaries per dimension,
+    O(1) state) and the write becomes repartitionByRange(zkey) — the
+    zone-map math and the audit stay identical. Complements
+    zonemap_audit (which certifies 1-D range vs scatter layouts on
+    real hive-partitioned bytes)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        _cents(F.col("value")).alias("y"),
+    )
+    n = 1 << ZORD_BITS
+    rk = e.select(
+        "event_id",
+        "x",
+        "y",
+        (F.ntile(n).over(Window.orderBy("x", "event_id")) - 1).alias("rx"),
+        (F.ntile(n).over(Window.orderBy("y", "event_id")) - 1).alias("ry"),
+    )
+    z = rk.withColumn("zkey", F.expr(_zkey_expr("div")))
+    fil = z.select(
+        "x",
+        "y",
+        F.ntile(ZORD_FILES)
+        .over(Window.orderBy("x", "event_id"))
+        .alias("lin_f"),
+        F.ntile(ZORD_FILES)
+        .over(Window.orderBy("zkey", "event_id"))
+        .alias("z_f"),
+    )
+    both = fil.select(
+        F.lit("linear").alias("layout"),
+        F.col("lin_f").alias("file_id"),
+        "x",
+        "y",
+    ).unionByName(
+        fil.select(
+            F.lit("zorder").alias("layout"),
+            F.col("z_f").alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    return both.groupBy("layout", F.col("file_id").cast("long").alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+    )
