@@ -581,6 +581,49 @@ def _extraction_queries() -> dict[str, Callable]:
             F.lit(ok).alias("resume_skipped_all"),
         )
 
+    def x_tool_latency(spark, sf_dir):
+        """Agent-transcript TOOL analytics over the same materialized
+        turns x_turn_audit audits: per tool, invocation count,
+        distinct conversations, and the latency from each tool turn
+        to the NEXT turn in its conversation (integer epoch seconds —
+        the tool-roundtrip wall time an agent-pipeline operator
+        monitors). The lead() runs over ALL turns (the next turn is
+        usually a different role) on the same (conv_id, turn_idx)
+        window key as every extraction stage, THEN filters to tool
+        turns — one conv_id shuffle plus a tool-sized agg. Tail turns
+        have no successor and are accounted separately (n_followed)
+        rather than silently dropped. Epochs use the cast-to-timestamp
+        discipline (NTZ → long) with DuckDB floor(epoch()) so both
+        engines truncate identically."""
+        from pyspark.sql import Window
+
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        f = turns.select(
+            "conv_id",
+            "tool",
+            F.col("ts").cast("timestamp").cast("long").alias("e"),
+            F.lead(F.col("ts").cast("timestamp").cast("long"))
+            .over(w)
+            .alias("ne"),
+        ).filter(F.col("tool").isNotNull())
+        return f.groupBy("tool").agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("ne").cast("long").alias("n_followed"),
+            F.when(
+                F.count("ne") > 0,
+                F.expr("sum(ne - e) div count(ne)"),
+            )
+            .cast("long")
+            .alias("mean_gap_s"),
+            F.max(F.col("ne") - F.col("e")).cast("long").alias("max_gap_s"),
+        )
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -598,6 +641,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_stream_enrich": x_stream_enrich,
         "x_turn_audit": x_turn_audit,
         "x_ckpt_lineage": x_ckpt_lineage,
+        "x_tool_latency": x_tool_latency,
     }
 
 
@@ -616,6 +660,7 @@ _SAMPLE_FIRST = [
     "x_assemble_sparse", "x_assemble_stream", "x_assemble_unordered",
     "x_dup_spans", "x_rank1_divergence", "x_stream_join",
     "x_stream_enrich", "x_turn_audit", "x_ckpt_lineage",
+    "x_tool_latency",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -630,15 +675,20 @@ _SAMPLE_FIRST = [
     # DSIR importance weights, count-min heavy hitters, Z-order layout
     "boilerplate_lines", "word_rank_fluency", "dsir_importance",
     "cms_heavy_hitters", "zorder_layout",
+    # session-6 batch 2: tool-latency transcript analytics (x_ row,
+    # listed with the flagships above), temperature mixture weights,
+    # deterministic weighted sampling, schema-evolution read, salted
+    # replication join
+    "mixture_weights", "weighted_sample", "schema_evolution_read",
+    "skew_salted_join",
     # rotated to the tail for the session-6 rows: winsorized_stats,
     # outlier_3sigma, decayed_engagement, k_anonymity_audit, word_pmi
-    # — each is a single-pass integer agg whose exact semantics are
-    # pinned by a pure recomputation/invariant test in
-    # tests/test_pipeline_ops.py, the lowest cross-engine-risk rows
-    # in the r4 batch.
-    "edit_dist_verify", "triangle_support",
-    "drift_l1", "ohlc_hourly", "ann_recall_at5",
-    "chunk_overlap",
+    # (batch 1) and edit_dist_verify, triangle_support, drift_l1,
+    # ohlc_hourly, chunk_overlap (batch 2) — each is pinned by an
+    # exact pure-Python recomputation/parity test
+    # (tests/test_pipeline_ops.py, tests/test_session4_ops.py), the
+    # lowest cross-engine-risk rows in the r4 batch.
+    "ann_recall_at5",
     # session-5 flagships: the exact-similarity-join and
     # physical-layout rows carry the newest scale arguments, so they
     # take driver slots; trend_slope and hist_totalprice rotate to the
@@ -909,6 +959,24 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(*) filter (pts is not null and ts < pts)
                         as bigint) as n_ts_regress
             from f group by conv_id
+        """,
+        "x_tool_latency": f"""
+            with f as (
+              select conv_id, tool,
+                     cast(floor(epoch(ts)) as bigint) as e,
+                     lead(cast(floor(epoch(ts)) as bigint))
+                       over (partition by conv_id order by turn_idx) as ne
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            )
+            select tool,
+                   cast(count(*) as bigint) as n_calls,
+                   cast(count(distinct conv_id) as bigint) as n_convs,
+                   cast(count(ne) as bigint) as n_followed,
+                   cast(case when count(ne) > 0
+                        then sum(ne - e) filter (ne is not null) // count(ne)
+                        end as bigint) as mean_gap_s,
+                   cast(max(ne - e) as bigint) as max_gap_s
+            from f where tool is not null group by tool
         """,
         "x_assemble": asm_cte()
         + """

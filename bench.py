@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "dsir_importance",
     "cms_heavy_hitters",
     "zorder_layout",
+    "mixture_weights",
+    "weighted_sample",
+    "schema_evolution_read",
+    "skew_salted_join",
     "minhash128_pairs",
     "minhash128_full_pairs",
     "longdoc_dedup",

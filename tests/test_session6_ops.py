@@ -186,3 +186,112 @@ def test_zorder_bounds_both_dimensions(spark):
     zo_y = worst_span(zo, "y_min", "y_max", y_dom)
     assert lin_y > 0.9
     assert zo_y < lin_y
+
+
+def test_mixture_weights_vs_python(spark):
+    import math
+
+    docs = _docs(spark)
+    toks = defaultdict(int)
+    ndocs = defaultdict(int)
+    for d in docs:
+        toks[d.lang] += len(d.text.split(" "))
+        ndocs[d.lang] += 1
+    sw = {l: math.isqrt(n) for l, n in toks.items()}
+    ts, tt = sum(sw.values()), sum(toks.values())
+    got = {
+        r.lang: (r.n_docs, r.n_toks, r.s_w, r.w_ppm, r.upsample_milli)
+        for r in q.QUERIES["mixture_weights"](spark, SF).collect()
+    }
+    assert set(got) == set(toks)
+    for l in toks:
+        assert got[l] == (
+            ndocs[l],
+            toks[l],
+            sw[l],
+            sw[l] * 1_000_000 // ts,
+            sw[l] * tt * 1000 // (ts * toks[l]),
+        ), l
+    # temperature sampling must up-weight low-resource languages:
+    # the smallest language's upsample factor exceeds the largest's
+    lo = min(toks, key=toks.get)
+    hi = max(toks, key=toks.get)
+    assert got[lo][4] > got[hi][4]
+
+
+def test_weighted_sample_vs_python(spark):
+    rows = q.QUERIES["weighted_sample"](spark, SF).collect()
+    full = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in q.t(spark, SF, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    pri = {
+        did: (int(hashlib.md5(f"ws#{did}".encode()).hexdigest()[:8], 16)
+              * 1048576)
+        // max(nc, 1)
+        for did, (_, nc) in full.items()
+    }
+    by_lang = defaultdict(list)
+    for did, (lang, _) in full.items():
+        by_lang[lang].append(did)
+    exp = set()
+    for lang, dids in by_lang.items():
+        dids.sort(key=lambda d: (pri[d], d))
+        exp |= {(lang, d) for d in dids[: q.WS_K]}
+    got = {(r.lang, r.doc_id) for r in rows}
+    assert got == exp
+    for r in rows:
+        assert r.pri == pri[r.doc_id]
+
+
+def test_schema_evolution_accounting(spark):
+    rows = {r.batch: r for r in q.QUERIES["schema_evolution_read"](spark, SF).collect()}
+    assert set(rows) == {"v1", "v2"}
+    docs = q.t(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    v1 = [d for d in docs if d.doc_id % 2 == 0]
+    v2 = [d for d in docs if d.doc_id % 2 == 1]
+    # v1 predates the column: every row must surface quality as NULL
+    assert rows["v1"].n_rows == len(v1)
+    assert rows["v1"].n_quality_null == len(v1)
+    assert rows["v1"].sum_quality == 0
+    assert rows["v2"].n_rows == len(v2)
+    assert rows["v2"].n_quality_null == 0
+    assert rows["v2"].sum_quality == sum(d.n_chars % 100 for d in v2)
+    assert rows["v2"].sum_text_len == sum(d.n_chars for d in v2)
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    got = {
+        r.k: (r.n_events, r.sum_v_c, r.dim_tot_c)
+        for r in q.QUERIES["skew_salted_join"](spark, SF).collect()
+    }
+    ev = q.t(spark, SF, "events").select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    dim = (
+        q.t(spark, SF, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("tot_c"))
+    )
+    exp = {
+        r.k: (r.n, r.s, r.t)
+        for r in ev.join(dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_c").alias("s"),
+            F.max("tot_c").alias("t"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # the planted hot key must actually be hot (≈1/3 of all events)
+    n_ev = q.t(spark, SF, "events").count()
+    assert got[0][0] >= n_ev // 4

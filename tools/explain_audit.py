@@ -782,6 +782,72 @@ def main() -> None:
         )
     )
 
+    # ---- salted replication join: (k, salt) spreads the hot key -----
+    sj = qmod.QUERIES["skew_salted_join"](spark, "/root/testdata/sf0.001")
+    p = plan_of(sj)
+    sections.append(
+        (
+            "Salted replication join (hot key spread over 16 reducers)",
+            p,
+            [
+                "The fact side carries salt = event_id % 16 and the dim "
+                "side is replicated 16x, so the join key is (k, salt) — "
+                "the planted hot key's rows land on 16 reducers instead "
+                "of one. The join is hinted shuffle_hash (broadcast would "
+                "hide the skew problem; j5 covers the broadcast case).",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "salted join: shuffled join keyed on (k, salt), not broadcast",
+            "ShuffledHashJoin" in p
+            and "hashpartitioning(k" in p
+            and "salt" in p.split("hashpartitioning(k", 1)[1].splitlines()[0],
+        )
+    )
+
+    # ---- mixture weights: totals ride a 1-row broadcast -------------
+    mw = qmod.QUERIES["mixture_weights"](spark, "/root/testdata/sf0.001")
+    p = plan_of(mw)
+    checks.append(
+        (
+            "mixture weights: corpus totals join as a broadcast "
+            "(metadata-sized job)",
+            "Broadcast" in p,
+        )
+    )
+
+    # ---- weighted sample: one lang exchange, join-free --------------
+    wsm = qmod.QUERIES["weighted_sample"](spark, "/root/testdata/sf0.001")
+    p = plan_of(wsm)
+    checks.append(
+        (
+            "weighted sample: join-free, exactly one lang exchange "
+            "(priority is a pure column expression)",
+            "Join" not in p
+            and len(
+                [
+                    ln
+                    for ln in p.splitlines()
+                    if "hashpartitioning(lang" in ln
+                ]
+            )
+            == 1,
+        )
+    )
+
+    # ---- schema evolution: merged scan surfaces the evolved column --
+    se = qmod.QUERIES["schema_evolution_read"](spark, "/root/testdata/sf0.001")
+    p = plan_of(se)
+    checks.append(
+        (
+            "schema evolution: merged scan carries the evolved column "
+            "and the batch partition column",
+            "quality" in p and "batch" in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

@@ -109,3 +109,28 @@ def materialize_text(
         build().write.mode("overwrite").text(p)
         _written.add(p)
     return p
+
+
+def materialize_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parts: dict[str, Callable[[], DataFrame]],
+) -> str:
+    """Same freshness/cross-scale contract as :func:`materialize`, but
+    writes each ``parts[sub]()`` under ``<path>/<sub>/`` with its OWN
+    schema — the schema-EVOLUTION fixture (a real lakehouse dataset is
+    many write batches, and later batches add columns). Returns the
+    root path; callers pick their schema-merging reader (Spark
+    ``mergeSchema``, DuckDB ``union_by_name``)."""
+    p = path(sf_dir, name)
+    if p not in _written:
+        op = path(ORACLE_SF, name)
+        if p != op and op not in _written:
+            import shutil
+
+            shutil.rmtree(op, ignore_errors=True)
+        for sub, build in parts.items():
+            build().write.mode("overwrite").parquet(f"{p}/{sub}")
+        _written.add(p)
+    return p

@@ -6408,3 +6408,267 @@ def zorder_layout(spark, sf_dir):
         F.min("y").cast("long").alias("y_min"),
         F.max("y").cast("long").alias("y_max"),
     )
+
+
+# =====================================================================
+# Temperature-based mixture weights (multilingual pretraining sampling,
+# XLM-R-style alpha=0.5) — integer-exact via floor(sqrt())
+# =====================================================================
+@q(
+    "mixture_weights",
+    """
+    with l as (
+      select lang,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(len(string_split(text, ' '))) as bigint) as n_toks
+      from documents group by lang
+    ),
+    s as (
+      select *, cast(floor(sqrt(n_toks)) as bigint) as s_w from l
+    ),
+    tot as (
+      select cast(sum(s_w) as bigint) as ts,
+             cast(sum(n_toks) as bigint) as tt
+      from s
+    )
+    select lang, n_docs, n_toks, s_w,
+           cast((s_w * 1000000) // ts as bigint) as w_ppm,
+           cast((s_w * tt * 1000) // (ts * n_toks) as bigint)
+             as upsample_milli
+    from s, tot
+    """,
+)
+def mixture_weights(spark, sf_dir):
+    """Temperature-based sampling weights for a multilingual training
+    mixture (the public XLM-R / mT5 recipe, alpha = 0.5): each
+    language's sampling share is n_toks^alpha normalized over the
+    corpus, which up-weights low-resource languages without letting
+    them dominate. alpha = 0.5 makes the weight floor(sqrt(n_toks)) —
+    IEEE-754 sqrt is correctly rounded in BOTH engines, so the
+    integerized weight is bit-identical and the whole query stays on
+    the exact hash gate (w_ppm = normalized share; upsample_milli =
+    share relative to the language's natural token share, i.e. how
+    many times over uniform each token is seen). Plan: one lang
+    groupBy (5 rows out), totals as a broadcast 1-row cross join —
+    at 100 TB this is a metadata-sized job over any corpus, the same
+    shape balance_langs uses."""
+    d = t(spark, sf_dir, "documents")
+    l = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    s = l.withColumn(
+        "s_w",
+        F.expr("cast(floor(sqrt(cast(n_toks as double))) as long)"),
+    )
+    tot = s.agg(
+        F.sum("s_w").cast("long").alias("ts"),
+        F.sum("n_toks").cast("long").alias("tt"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_toks",
+        "s_w",
+        F.expr("(s_w * 1000000) div ts").cast("long").alias("w_ppm"),
+        F.expr("(s_w * tt * 1000) div (ts * n_toks)")
+        .cast("long")
+        .alias("upsample_milli"),
+    )
+
+
+# =====================================================================
+# Deterministic weighted sampling (hash-priority race): reproducible
+# weighted top-k per stratum without any RNG state
+# =====================================================================
+WS_K = 10
+
+
+@q(
+    "weighted_sample",
+    f"""
+    with p as (
+      select lang, doc_id, n_chars,
+             (cast(('0x' || substr(md5('ws#' || cast(doc_id as varchar)), 1, 8))
+                   as bigint) * 1048576)
+               // greatest(n_chars, 1) as pri
+      from documents
+    )
+    select lang, doc_id, cast(n_chars as bigint) as n_chars,
+           cast(pri as bigint) as pri
+    from (
+      select *, row_number() over (partition by lang
+                                   order by pri, doc_id) as rn
+      from p
+    ) where rn <= {WS_K}
+    """,
+)
+def weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling per stratum — the
+    Efraimidis-Spirakis priority-race idea with the RNG replaced by a
+    content hash so the sample is REPRODUCIBLE and resumable (the
+    property a 100-TB pipeline actually needs: re-running the job, or
+    recovering one partition of it, must select the same rows). Each
+    doc gets priority h(doc_id)/weight (integer-scaled; weight =
+    n_chars, so longer docs win proportionally more often) and the
+    k=10 smallest priorities per language are the sample. Unlike
+    rand()-based sampleBy, there is no seed-per-partition coupling —
+    the priority is a pure column expression, so the plan is one
+    window over one lang exchange and the choice of parallelism can
+    never change the sample. Exact ES sampling uses u^(1/w); the
+    integer h/w race preserves the weighted-priority property while
+    keeping the contract on the exact hash gate (documented
+    approximation, monotone in weight)."""
+    d = t(spark, sf_dir, "documents")
+    p = d.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "(cast(conv(substring(md5(concat('ws#', cast(doc_id as string))),"
+            " 1, 8), 16, 10) as bigint) * 1048576)"
+            " div greatest(cast(n_chars as bigint), 1)"
+        ).alias("pri"),
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WS_K)
+        .select("lang", "doc_id", "n_chars", "pri")
+    )
+
+
+# =====================================================================
+# Schema-evolution read (mergeSchema / union_by_name): later write
+# batches add columns; one read reconciles them
+# =====================================================================
+@q("schema_evolution_read", None)  # oracle attached below (needs mat path)
+def schema_evolution_read(spark, sf_dir):
+    """Schema-EVOLUTION source: a real lakehouse table is thousands of
+    write batches, and later batches add columns (here batch v2 adds
+    `quality`). The query materializes two batches with genuinely
+    different parquet schemas under one root (hive dir batch=v1 /
+    batch=v2), reads them back with Spark's mergeSchema + partition
+    discovery, and accounts for the evolved column per batch — v1
+    rows must surface quality as NULL (never a default, never an
+    error). DuckDB reads the same bytes with union_by_name +
+    hive_partitioning, so the driver hash certifies both engines
+    reconcile the evolved schema identically. At 100 TB mergeSchema's
+    footer-sampling cost is the documented caveat — production pins
+    the merged schema in the catalog (Iceberg/Delta do exactly this)
+    and this query is the audit that the data still conforms."""
+    from . import mat
+
+    def v1():
+        return (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.col("n_chars").cast("long").alias("text_len"))
+        )
+
+    def v2():
+        return (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 1)
+            .select(
+                "doc_id",
+                F.col("n_chars").cast("long").alias("text_len"),
+                (F.col("n_chars") % 100).cast("long").alias("quality"),
+            )
+        )
+
+    root = mat.materialize_multi(
+        spark, sf_dir, "evolved", {"batch=v1": v1, "batch=v2": v2}
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    return df.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_if(F.col("quality").isNull()).cast("long").alias("n_quality_null"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("sum_quality"),
+        F.sum("text_len").cast("long").alias("sum_text_len"),
+    )
+
+
+ORACLE["schema_evolution_read"] = """
+    select batch,
+           cast(count(*) as bigint) as n_rows,
+           cast(count_if(quality is null) as bigint) as n_quality_null,
+           cast(coalesce(sum(quality), 0) as bigint) as sum_quality,
+           cast(sum(text_len) as bigint) as sum_text_len
+    from read_parquet('/tmp/xtract_mat/sf0.01/evolved/*/*.parquet',
+                      union_by_name = true, hive_partitioning = true)
+    group by batch
+"""
+
+
+# =====================================================================
+# Salted replication join under key skew — the manual skew-join shape
+# for when BOTH sides are too big to broadcast
+# =====================================================================
+SJ_SALT = 16
+
+
+@q(
+    "skew_salted_join",
+    """
+    with big as (
+      select case when event_id % 3 = 0 then 0 else user_id end as k,
+             cast(floor(value * 100) as bigint) as v_c
+      from events
+    ),
+    dim as (
+      select o_custkey as k, count(*) as n_orders,
+             cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)
+               as tot_c
+      from orders group by o_custkey
+    )
+    select b.k as k,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(b.v_c) as bigint) as sum_v_c,
+           cast(max(d.tot_c) as bigint) as dim_tot_c
+    from big b join dim d on b.k = d.k
+    group by b.k
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted REPLICATION join under planted key skew — the manual
+    form of AQE's skew-join split, for the case broadcast can't solve
+    (both sides large): a third of the fact rows collapse onto hot
+    key 0 (100x the median key), which under a plain shuffle join
+    would pin one reducer. The fact side gets salt = event_id % 16;
+    the dim side is replicated 16x via explode(sequence()); the join
+    key becomes (k, salt), so the hot key's rows spread over 16
+    reducers, then one groupBy(k) merges the partials. The join is
+    hinted shuffle_hash (broadcast would hide the very problem the
+    salt solves — j5 covers the broadcast case). The oracle is the
+    plain unsalted join, so the driver hash proves salting is
+    semantics-preserving. At 100 TB you'd salt only keys above a
+    frequency threshold (two-level salt map, same as
+    skew_salted_stats' agg-side discipline) — the uniform salt here
+    keeps the demonstration plan readable."""
+    ev = t(spark, sf_dir, "events")
+    ords = t(spark, sf_dir, "orders")
+    big = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        _cents(F.col("value")).alias("v_c"),
+        (F.col("event_id") % SJ_SALT).cast("int").alias("salt"),
+    )
+    dim = (
+        ords.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("tot_c"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SJ_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    j = big.join(dim.hint("shuffle_hash"), ["k", "salt"])
+    return j.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("v_c").cast("long").alias("sum_v_c"),
+        F.max("tot_c").cast("long").alias("dim_tot_c"),
+    )
