@@ -624,6 +624,64 @@ def _extraction_queries() -> dict[str, Callable]:
             F.max(F.col("ne") - F.col("e")).cast("long").alias("max_gap_s"),
         )
 
+    def x_role_transitions(spark, sf_dir):
+        """Dialogue-act TRANSITION matrix over the materialized
+        turns: count of each (prev_role -> role) adjacency and the
+        conversations exhibiting it — the conversation-shape summary
+        an agent-transcript pipeline monitors (e.g. tool->tool runs
+        flag retry loops). One lag() over the (conv_id ORDER BY
+        turn_idx) window feeding a |roles|^2-key agg: a single
+        conv_id shuffle at 10^12 turns, the agg map-side combinable
+        to 9 rows."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.role_transitions(turns)
+
+    def x_context_budget(spark, sf_dir):
+        """CONTEXT-WINDOW accounting over the materialized turns:
+        running [a-z0-9]+ token sum per conversation in turn order,
+        reporting each conversation's total tokens, the first turn
+        where the cumulative count exceeds CONTEXT_BUDGET (=1024,
+        the truncation point a sequence packer needs) and how many
+        turns fit. Explicit ROWS frame so both engines accumulate
+        identically; the conv agg reuses the window's partitioning —
+        one conv_id shuffle total. Conversations that never overflow
+        report NULL overflow_turn in both engines."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.context_budget(turns)
+
+    def x_conv_dedup(spark, sf_dir):
+        """CONVERSATION-level near-dup detection: per-conversation
+        minhash signatures built WITHOUT concatenating turn text —
+        component p = min over turns of md5(p||'|'||text), which is
+        associative, so signatures combine map-side and the only
+        turn-scale shuffle is the conv_id groupBy; the LSH band join
+        then runs over the |convs|-row signature table (4 bands of
+        2). At 10^12 turns no executor ever materializes a whole
+        conversation. The corpus is the materialized turns PLUS a
+        deterministic near-dup clone of every conversation
+        (conv_id~c, drops turns with turn_idx%17==3) that the DuckDB
+        oracle re-derives independently from the same parquet, so
+        recovered clone pairs certify the signature+banding math
+        end-to-end, not a copied intermediate."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        ).select("conv_id", "turn_idx", "text")
+        clones = turns.filter(F.col("turn_idx") % 17 != 3).select(
+            F.concat(F.col("conv_id"), F.lit("~c")).alias("conv_id"), "text"
+        )
+        corpus = turns.select("conv_id", "text").unionByName(clones)
+        return structure.conv_dedup_pairs(structure.conv_signatures(corpus))
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -642,6 +700,9 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_turn_audit": x_turn_audit,
         "x_ckpt_lineage": x_ckpt_lineage,
         "x_tool_latency": x_tool_latency,
+        "x_role_transitions": x_role_transitions,
+        "x_context_budget": x_context_budget,
+        "x_conv_dedup": x_conv_dedup,
     }
 
 
@@ -661,6 +722,10 @@ _SAMPLE_FIRST = [
     "x_dup_spans", "x_rank1_divergence", "x_stream_join",
     "x_stream_enrich", "x_turn_audit", "x_ckpt_lineage",
     "x_tool_latency",
+    # session-7 transcript analytics (new this session, on the north
+    # rule's own table: dialogue transition matrix, context-window
+    # accounting, conversation-level minhash dedup)
+    "x_role_transitions", "x_context_budget", "x_conv_dedup",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -668,8 +733,13 @@ _SAMPLE_FIRST = [
     "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
     "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
-    "peak_concurrency", "fk_orphan_audit",
-    "snapshot_diff", "int8_ann_top3",
+    "int8_ann_top3",
+    # peak_concurrency, fk_orphan_audit and snapshot_diff rotated to
+    # the tail for the session-7 transcript rows: each is pinned by an
+    # exact pytest invariant (test_pipeline_ops: naive-overlap parity,
+    # clean-generator zero-orphan check, status-partition check) and
+    # all three are replica-PASS — the lowest-risk rows among the r4
+    # additions still holding driver slots.
     # session-6 additions (all new this session, so they take driver
     # slots): corpus-frequency boilerplate strip, word-rank fluency,
     # DSIR importance weights, count-min heavy hitters, Z-order layout
@@ -747,7 +817,7 @@ def _extraction_oracles() -> dict[str, str]:
     parquet globs are pinned to that scale; the Spark query (which the
     driver runs first) writes the files in-process, so DuckDB always
     reads fresh bytes."""
-    from xtract import assemble, mat
+    from xtract import assemble, mat, structure
     from xtract.queries import _fp_cte
 
     spans = mat.glob("sf0.01", "spans")
@@ -977,6 +1047,70 @@ def _extraction_oracles() -> dict[str, str]:
                         end as bigint) as mean_gap_s,
                    cast(max(ne - e) as bigint) as max_gap_s
             from f where tool is not null group by tool
+        """,
+        "x_role_transitions": f"""
+            with f as (
+              select conv_id, role,
+                     lag(role) over (partition by conv_id
+                                     order by turn_idx) as prev_role
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            )
+            select prev_role, role,
+                   cast(count(*) as bigint) as n_transitions,
+                   cast(count(distinct conv_id) as bigint) as n_convs
+            from f where prev_role is not null
+            group by prev_role, role
+        """,
+        "x_context_budget": f"""
+            with f as (
+              select conv_id, turn_idx,
+                     cast(len(regexp_extract_all(text, '[a-z0-9]+'))
+                          as bigint) as toks
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            ),
+            c as (
+              select conv_id, turn_idx, toks,
+                     sum(toks) over (partition by conv_id
+                                     order by turn_idx
+                                     rows between unbounded preceding
+                                     and current row) as cum
+              from f
+            )
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(toks) as bigint) as total_toks,
+                   cast(min(case when cum > {structure.CONTEXT_BUDGET}
+                            then turn_idx end) as bigint) as overflow_turn,
+                   cast(count(case when cum <= {structure.CONTEXT_BUDGET}
+                              then 1 end) as bigint) as turns_within
+            from c group by conv_id
+        """,
+        # re-derives the clone corpus from the same turns parquet the
+        # Spark plan reads (turn_idx%17<>3), then restates the
+        # distributive min-md5 signature and 4x2 banding from scratch
+        "x_conv_dedup": f"""
+            with corpus as (
+              select conv_id, text
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+              union all
+              select conv_id || '~c', text
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+              where turn_idx % 17 <> 3
+            ),
+            sig as (
+              select conv_id,
+                     {", ".join(f"min(md5('{p}|' || text)) as s{p}" for p in range(structure.CONV_PERMS))}
+              from corpus group by conv_id
+            ),
+            bands as (
+              {" union all ".join(f"select conv_id, {b} as band, md5(s{2 * b} || s{2 * b + 1}) as bkey from sig" for b in range(structure.CONV_BANDS))}
+            )
+            select a.conv_id as conv_a, b.conv_id as conv_b,
+                   cast(count(*) as bigint) as n_bands
+            from bands a
+            join bands b on a.band = b.band and a.bkey = b.bkey
+                        and a.conv_id < b.conv_id
+            group by 1, 2 having count(*) >= 2
         """,
         "x_assemble": asm_cte()
         + """

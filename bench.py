@@ -229,6 +229,21 @@ def main() -> None:
     timings["assemble_sparse"] = round(time.monotonic() - t0, 3)
     spans_cached.unpersist()
 
+    # session-7 transcript analytics over the same cached transcripts
+    from xtract import structure as st_mod
+
+    t0 = time.monotonic()
+    st_mod.role_transitions(tr).agg(F.count("*")).collect()
+    timings["role_transitions"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    st_mod.context_budget(tr).agg(F.count("*")).collect()
+    timings["context_budget"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    st_mod.conv_dedup_pairs(st_mod.conv_signatures(tr)).agg(
+        F.count("*")
+    ).collect()
+    timings["conv_dedup"] = round(time.monotonic() - t0, 3)
+
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]
         t0 = time.monotonic()

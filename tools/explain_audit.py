@@ -848,6 +848,66 @@ def main() -> None:
         )
     )
 
+    # ---- session-7 transcript analytics: turn-scale work costs one
+    # conv_id shuffle; everything after runs on tiny aggregates ------
+    from xtract import structure as _st
+
+    def _nex(plan: str) -> int:
+        return len(
+            [
+                ln
+                for ln in plan.splitlines()
+                if ln.strip().startswith("(") and ") Exchange" in ln
+            ]
+        )
+
+    p = plan_of(_st.role_transitions(tr))
+    checks.append(
+        (
+            "role transitions: join-free, one turn-scale exchange + one "
+            "9-key agg exchange, partial agg before it",
+            "Join" not in p and _nex(p) == 2 and p.count("HashAggregate") >= 2,
+        )
+    )
+    p = plan_of(_st.context_budget(tr))
+    checks.append(
+        (
+            "context budget: exactly ONE exchange (conv agg reuses the "
+            "window's conv_id partitioning), join-free",
+            _nex(p) == 1 and "Window" in p and "Join" not in p,
+        )
+    )
+    sigs = _st.conv_signatures(tr)
+    p = plan_of(sigs)
+    checks.append(
+        (
+            "conv signatures: one conv_id exchange with map-side partial "
+            "min-agg (distributive signature — no text concatenation)",
+            _nex(p) == 1 and "partial" in p.lower(),
+        )
+    )
+    p = plan_of(_st.conv_dedup_pairs(sigs))
+    sections.append(
+        (
+            "Conversation-level minhash dedup (distributive signature → LSH band join)",
+            p,
+            [
+                "The turn-scale subtree ends at a partial min() aggregation — "
+                "signatures combine map-side, so the only shuffle of turn-sized "
+                "data is the conv_id groupBy. The LSH band self-join is a pure "
+                "(band, bkey) equi-join over the |convs|-row signature table: "
+                "no CartesianProduct, no BroadcastNestedLoopJoin, and nothing "
+                "downstream of the signature agg scales with turns.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "conv dedup band join is an equi-join (no cartesian/theta)",
+            "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 

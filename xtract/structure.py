@@ -261,3 +261,114 @@ def turn_audit(turns: DataFrame) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_ts_regress"),
     )
+
+
+# ---------------------------------------------------------------------
+# Transcript-level analytics over (conv_id, turn_idx, role, text, tool,
+# ts) — the input-hint table. Each op keys on conv_id, the same
+# partitioning every extraction stage shuffles on, so at 10^12 turns
+# they ride the pipeline's existing exchange instead of adding one.
+# ---------------------------------------------------------------------
+
+CONTEXT_BUDGET = 1024  # tokens per conversation context window
+CONV_PERMS = 8  # minhash components per conversation signature
+CONV_BANDS = 4  # LSH bands (2 components per band)
+
+
+def role_transitions(turns: DataFrame) -> DataFrame:
+    """Dialogue-act transition matrix: for every adjacent turn pair
+    within a conversation, count (prev_role -> role) transitions and
+    the conversations exhibiting each. One lag() over the
+    (conv_id ORDER BY turn_idx) window feeding a 9-row agg — a single
+    conv_id shuffle; the transition agg is map-side combinable over
+    at most |roles|^2 keys."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    f = turns.select(
+        "conv_id", "role", F.lag("role").over(w).alias("prev_role")
+    ).filter(F.col("prev_role").isNotNull())
+    return f.groupBy("prev_role", "role").agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def context_budget(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Context-window accounting: running token sum per conversation
+    in turn order, reporting where each conversation first exceeds
+    ``budget`` tokens (the truncation point a training-data packer
+    needs) and how many turns fit. Tokens are the same [a-z0-9]+
+    extraction tok_count uses, so both engines count identically.
+    The running sum uses an explicit ROWS frame over the
+    (conv_id ORDER BY turn_idx) window and the conv agg reuses that
+    partitioning — one shuffle total."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    f = turns.select("conv_id", "turn_idx", toks.alias("toks")).withColumn(
+        "cum", F.sum("toks").over(w)
+    )
+    return f.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("toks").cast("long").alias("total_toks"),
+        F.min(F.when(F.col("cum") > budget, F.col("turn_idx")))
+        .cast("long")
+        .alias("overflow_turn"),
+        F.count(F.when(F.col("cum") <= budget, 1))
+        .cast("long")
+        .alias("turns_within"),
+    )
+
+
+def conv_signatures(turns: DataFrame) -> DataFrame:
+    """Conversation-level minhash signature WITHOUT concatenating
+    turn text: component p is min over the conversation's turns of
+    md5(p || '|' || turn_text). min() is associative and commutative,
+    so every component combines map-side and the only shuffle is the
+    conv_id groupBy — at 10^12 turns the signature table is |convs|
+    rows and no executor ever holds a whole conversation's text.
+    md5 hex is lowercase in both engines, so lexicographic min agrees
+    bit-exactly cross-engine."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("text")))).alias(f"s{p}")
+        for p in range(CONV_PERMS)
+    ]
+    return turns.groupBy("conv_id").agg(*aggs)
+
+
+def conv_dedup_pairs(sigs: DataFrame, min_bands: int = 2) -> DataFrame:
+    """LSH banding over conversation signatures: 4 bands of 2
+    components; conversations sharing >= ``min_bands`` band keys are
+    near-duplicate candidates. Band keys are md5 of the concatenated
+    components, the join is a band+key equi-join over the tiny
+    conv-level table (never the turns), and the pair agg counts
+    agreeing bands."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))).alias(
+                "bkey"
+            ),
+        )
+        for b in range(CONV_BANDS)
+    ]
+    m = sigs.select("conv_id", F.explode(F.array(*bands)).alias("x")).select(
+        "conv_id", F.col("x.band").alias("band"), F.col("x.bkey").alias("bkey")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("conv_a"),
+            F.col("b.conv_id").alias("conv_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
