@@ -229,6 +229,23 @@ def main() -> None:
     timings["assemble_sparse"] = round(time.monotonic() - t0, 3)
     spans_cached.unpersist()
 
+    # per-turn text-equality pass rate at corpus scale — the second
+    # half of the headline metric (distributed kernel-vs-oracle digest
+    # comparison; 1_000_000 ppm == every turn bit-identical)
+    from xtract import parity as parity_mod
+
+    t0 = time.monotonic()
+    prow = parity_mod.sweep(tr).collect()[0]
+    t_par = time.monotonic() - t0
+    timings["parity_sweep"] = round(t_par, 3)
+    parity_block = {
+        "turns": int(prow.n_turns),
+        "mismatch": int(prow.n_mismatch),
+        "pass_rate_ppm": int(prow.pass_rate_ppm),
+        "sec": round(t_par, 3),
+        "turns_per_sec": round(prow.n_turns / t_par, 1),
+    }
+
     # session-7 transcript analytics over the same cached transcripts
     from xtract import structure as st_mod
 
@@ -279,6 +296,7 @@ def main() -> None:
                     "cold_sec": round(t_cold, 3),
                     "cold_turns_per_sec": round(n_turns / t_cold, 1),
                 },
+                "parity": parity_block,
             }
         )
     )

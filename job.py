@@ -97,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
         "files of ~this size (parquet paths only)",
     )
     ap.add_argument(
+        "--parity-sample",
+        type=int,
+        default=None,
+        metavar="MOD",
+        help="after extraction, audit per-turn equality against the "
+        "pure-Python reference oracle on a 1/MOD hash-sample of whole "
+        "conversations (1 = every turn); adds a parity block to the "
+        "job's JSON line and exits nonzero on any mismatch",
+    )
+    ap.add_argument(
         "--checkpoint", default=None, help="sidecar lineage dir for idempotent resume"
     )
     ap.add_argument("--run-id", default="run0", help="run id recorded in lineage rows")
@@ -217,6 +227,30 @@ def main(argv: list[str] | None = None) -> int:
                 bucket_col=None,
             )
 
+    parity_failed = False
+    if args.parity_sample:
+        import pyspark.sql.functions as F
+
+        from xtract import parity
+
+        # audit the WRITTEN spans (the actual output bytes), not a
+        # re-extraction — read_ref of the sink vs the executor-side
+        # pure-Python oracle over the same (hash-sampled) turns
+        pt = df
+        ps = catalog.read_ref(spark, args.output)
+        if args.parity_sample > 1:
+            cond = (
+                F.pmod(F.xxhash64("conv_id"), F.lit(args.parity_sample)) == 0
+            )
+            pt, ps = pt.filter(cond), ps.filter(cond)
+        prow = parity.parity_report(pt, ps).collect()[0]
+        result["parity"] = {
+            "turns_audited": int(prow.n_turns),
+            "mismatch": int(prow.n_mismatch),
+            "pass_rate_ppm": int(prow.pass_rate_ppm),
+        }
+        parity_failed = prow.n_mismatch > 0
+
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -231,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
     spark.stop()
-    return 0
+    return 1 if parity_failed else 0
 
 
 if __name__ == "__main__":

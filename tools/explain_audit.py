@@ -908,6 +908,36 @@ def main() -> None:
         )
     )
 
+    # ---- parity sweep: digest-row join, oracle on executors ---------
+    from xtract import parity as _parity
+
+    p = plan_of(_parity.sweep(tr))
+    sections.append(
+        (
+            "Distributed parity sweep (kernel digests ⋈ executor-side oracle digests)",
+            p,
+            [
+                "The pure-Python oracle runs as MapInPandas on the executors — "
+                "the reference-semantics pass scales with the cluster exactly "
+                "like the kernel. Both sides reduce to per-turn md5 digests "
+                "before the full-outer join, so the join moves 32-byte hex "
+                "rows, never span text, and the report is a count agg: the "
+                "north-rule equality metric costs one extra extraction pass "
+                "at any corpus size.",
+            ],
+        )
+    )
+    checks.append(
+        (
+            "parity sweep: oracle runs via MapInPandas, digest join is an "
+            "equi-join, digests aggregate before the join",
+            "MapInPandas" in p
+            and "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            and "collect_list" in p,
+        )
+    )
+
     # ---- partitioned sink: partition pruning + column pruning -------
     import shutil as _shutil
 
