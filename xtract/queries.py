@@ -5539,7 +5539,19 @@ def prefix_jaccard_pairs(spark, sf_dir):
     web-scale exact-dedup shape; MinHash (minhash128_pairs) remains
     the recall path when tau must go lower. Reference analogue: exact
     duplicate-question keying (question_merger.py:568-609) is the
-    tau=1 degenerate case."""
+    tau=1 degenerate case.
+
+    Two further lossless components of the same canon keep the dense
+    worst case (this synthetic corpus: ~930 bigrams over 1.7k docs,
+    prefix filter nearly saturated) cheap: the AllPairs LENGTH filter
+    (J >= tau forces den*|b| >= num*|a| and den*|a| >= num*|b|, so
+    size-incompatible pairs never become candidates) and a dense
+    integer TERM DICTIONARY in (df, term) order, so prefix membership
+    becomes a tid comparison and verification intersects sorted int
+    arrays instead of strings. The dictionary window is
+    VOCABULARY-scale (|terms| rows — the classic dictionary build),
+    never corpus-scale; the bijection term<->tid leaves every output
+    column bit-identical."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PJ_SLICE == 0)
     tok = (
         d.select("doc_id", F.split("text", " ").alias("words"))
@@ -5556,30 +5568,45 @@ def prefix_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    dfreq = tok.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    ranked = tok.join(dfreq, "term").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "term")
-        ),
+    # dictionary-scale window (constant partition key silences the
+    # single-partition warning; the input is |vocab| rows by design)
+    tdict = (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn(
+            "tid",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("df", "term"))
+            .cast("long"),
+        )
     )
-    # prefix length p = s - ceil(tau*s) + 1, all-integer
+    ranked = tok.join(F.broadcast(tdict.select("term", "tid")), "term").select(
+        "doc_id", "tid"
+    )
+    # prefix length p = s - ceil(tau*s) + 1, all-integer; df-ascending
+    # order == tid order by construction
     ceil_tau_s = F.expr(
         f"(({PJ_TAU_NUM} * sz) + {PJ_TAU_DEN} - 1) div {PJ_TAU_DEN}"
     )
     sized = ranked.withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("tid")),
+    ).withColumn(
         "sz",
         F.count("*").over(Window.partitionBy("doc_id")).cast("long"),
     )
     pref = sized.filter(
         F.col("pos") <= F.col("sz") - ceil_tau_s + 1
-    ).select("doc_id", "term")
+    ).select("doc_id", "tid", "sz")
     cand = (
         pref.alias("pa")
         .join(
             pref.alias("pb"),
-            (F.col("pa.term") == F.col("pb.term"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            (F.col("pa.tid") == F.col("pb.tid"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # AllPairs length filter: den*|b| >= num*|a| and vice versa
+            & (PJ_TAU_DEN * F.col("pb.sz") >= PJ_TAU_NUM * F.col("pa.sz"))
+            & (PJ_TAU_DEN * F.col("pa.sz") >= PJ_TAU_NUM * F.col("pb.sz")),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
@@ -5587,8 +5614,8 @@ def prefix_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    arrs = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("terms"),
+    arrs = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tid")).alias("terms"),
         F.count("*").cast("long").alias("sz"),
     )
     joined = (
