@@ -682,6 +682,26 @@ def _extraction_queries() -> dict[str, Callable]:
         corpus = turns.select("conv_id", "text").unionByName(clones)
         return structure.conv_dedup_pairs(structure.conv_signatures(corpus))
 
+    def x_conv_windows(spark, sf_dir):
+        """GREEDY training-window segmentation over the materialized
+        turns: consecutive turns pack into windows whose [a-z0-9]+
+        token sums stay within CONTEXT_BUDGET; a new window opens
+        exactly when the next turn would overflow (an oversized turn
+        occupies its own flagged window). The greedy reset is
+        order-dependent state no closed-form window function
+        expresses — the Spark side runs a per-conversation
+        applyInPandas kernel (one conv_id shuffle, state bounded by
+        one conversation), and the DuckDB oracle replays the EXACT
+        recursion with a recursive CTE over rn-ordered turns, so a
+        green row certifies the stateful kernel against an
+        independent declarative restatement, not a port of itself."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.conv_windows(turns)
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -703,6 +723,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_role_transitions": x_role_transitions,
         "x_context_budget": x_context_budget,
         "x_conv_dedup": x_conv_dedup,
+        "x_conv_windows": x_conv_windows,
     }
 
 
@@ -726,14 +747,21 @@ _SAMPLE_FIRST = [
     # rule's own table: dialogue transition matrix, context-window
     # accounting, conversation-level minhash dedup)
     "x_role_transitions", "x_context_budget", "x_conv_dedup",
+    "x_conv_windows",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
     "session_events_native", "vocab_oov",
-    "bloom_dedup_exact", "domain_quality_gate", "cohort_retention",
-    "tfidf_cosine_pairs", "jsonl_ingest_stats", "scd2_user_state",
+    "bloom_dedup_exact", "domain_quality_gate",
+    "tfidf_cosine_pairs", "jsonl_ingest_stats",
     "int8_ann_top3",
+    # session-7 batch 2: one BPE merge round (tokenizer induction)
+    "bpe_merge_round",
+    # scd2_user_state and cohort_retention rotated to the tail for the
+    # session-7 batch-2 rows — both pinned by exact pytest invariants
+    # (test_pipeline_ops: range-tiling check, offset0-cohort-size
+    # check) and replica-PASS.
     # peak_concurrency, fk_orphan_audit and snapshot_diff rotated to
     # the tail for the session-7 transcript rows: each is pinned by an
     # exact pytest invariant (test_pipeline_ops: naive-overlap parity,
@@ -1111,6 +1139,42 @@ def _extraction_oracles() -> dict[str, str]:
             join bands b on a.band = b.band and a.bkey = b.bkey
                         and a.conv_id < b.conv_id
             group by 1, 2 having count(*) >= 2
+        """,
+        # replays the greedy capacitated segmentation EXACTLY with a
+        # recursive CTE (rn-ordered recursion per conversation) — the
+        # declarative restatement of the stateful applyInPandas kernel
+        "x_conv_windows": f"""
+            with recursive t as (
+              select conv_id, turn_idx,
+                     cast(len(regexp_extract_all(text, '[a-z0-9]+'))
+                          as bigint) as toks,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx) as rn
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            ),
+            seg as (
+              select conv_id, rn, turn_idx, toks,
+                     cast(1 as bigint) as win_id, toks as win_sum
+              from t where rn = 1
+              union all
+              select t.conv_id, t.rn, t.turn_idx, t.toks,
+                     case when seg.win_sum + t.toks
+                               > {structure.CONTEXT_BUDGET}
+                          then seg.win_id + 1 else seg.win_id end,
+                     case when seg.win_sum + t.toks
+                               > {structure.CONTEXT_BUDGET}
+                          then t.toks else seg.win_sum + t.toks end
+              from seg join t
+                on t.conv_id = seg.conv_id and t.rn = seg.rn + 1
+            )
+            select conv_id, win_id as window_id,
+                   cast(min(turn_idx) as bigint) as start_turn,
+                   cast(max(turn_idx) as bigint) as end_turn,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(toks) as bigint) as window_toks,
+                   cast(sum(toks) as bigint)
+                     > {structure.CONTEXT_BUDGET} as oversize
+            from seg group by conv_id, win_id
         """,
         "x_assemble": asm_cte()
         + """

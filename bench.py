@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ann_recall_at5",
     "chunk_overlap",
     "prefix_jaccard_pairs",
+    "bpe_merge_round",
     "zonemap_audit",
     "ffill_last_price",
     "decile_stats",
@@ -260,6 +261,9 @@ def main() -> None:
         F.count("*")
     ).collect()
     timings["conv_dedup"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    st_mod.conv_windows(tr).agg(F.count("*")).collect()
+    timings["conv_windows"] = round(time.monotonic() - t0, 3)
 
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]

@@ -136,3 +136,82 @@ def test_conv_dedup_recovers_exact_clones_on_all_bands(spark):
     for r in pairs:
         assert r.conv_b == r.conv_a + "~exact"
         assert r.n_bands == structure.CONV_BANDS
+
+
+def test_conv_windows_vs_python_greedy(spark):
+    import re
+
+    turns = _turns(spark)
+    budget = structure.CONTEXT_BUDGET
+    rows = sorted(
+        turns.select("conv_id", "turn_idx", "text").collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    want = {}
+    state = {}
+    for r in rows:
+        toks = len(re.findall(r"[a-z0-9]+", r.text))
+        win, cur, start, n, last = state.get(r.conv_id, (1, 0, None, 0, None))
+        if n > 0 and cur + toks > budget:
+            want[(r.conv_id, win)] = (start, last, n, cur, cur > budget)
+            win, cur, start, n = win + 1, 0, None, 0
+        if n == 0:
+            start = r.turn_idx
+        state[r.conv_id] = (win, cur + toks, start, n + 1, r.turn_idx)
+    for c, (win, cur, start, n, last) in state.items():
+        want[(c, win)] = (start, last, n, cur, cur > budget)
+    got = {
+        (r.conv_id, r.window_id): (
+            r.start_turn,
+            r.end_turn,
+            r.n_turns,
+            r.window_toks,
+            r.oversize,
+        )
+        for r in structure.conv_windows(_turns(spark)).collect()
+    }
+    assert got == want
+
+
+def test_conv_windows_partition_turns_exactly(spark):
+    turns = _turns(spark)
+    wins = structure.conv_windows(turns).collect()
+    # every turn lands in exactly one window
+    assert sum(r.n_turns for r in wins) == turns.count()
+    by_conv = {}
+    for r in wins:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for c, rs in by_conv.items():
+        rs.sort(key=lambda r: r.window_id)
+        assert [r.window_id for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.end_turn < b.start_turn  # contiguous, ordered
+        for r in rs:
+            # oversize <=> over budget, and an oversized window is a
+            # single turn (greedy never packs past the budget)
+            assert r.oversize == (r.window_toks > structure.CONTEXT_BUDGET)
+            if r.oversize:
+                assert r.n_turns == 1
+
+
+def test_bpe_merge_round_vs_python(spark):
+    import re
+    from collections import Counter
+
+    from xtract import queries as q
+
+    docs = q.t(spark, SF, "documents").select("text").collect()
+    wc = Counter()
+    for d in docs:
+        for w in re.findall(r"[a-z0-9]+", d.text):
+            wc[w] += 1
+    pc = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += c
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: q.BPE_TOP]
+    got = sorted(
+        ((r.pair, r.cnt) for r in q.QUERIES["bpe_merge_round"](spark, SF).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want

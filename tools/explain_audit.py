@@ -908,6 +908,28 @@ def main() -> None:
         )
     )
 
+    p = plan_of(_st.conv_windows(tr))
+    checks.append(
+        (
+            "conv windows: stateful per-conversation kernel "
+            "(FlatMapGroupsInPandas) behind exactly ONE conv_id exchange, "
+            "join-free",
+            "FlatMapGroupsInPandas" in p and _nex(p) == 1 and "Join" not in p,
+        )
+    )
+    bpe = queries.QUERIES["bpe_merge_round"](spark, sf_dir)
+    p = plan_of(bpe)
+    checks.append(
+        (
+            "bpe merge round: corpus text feeds ONE word hash-agg with "
+            "map-side partial; pair counting and top-k run on "
+            "dictionary-scale rows (no join, no corpus-scale window)",
+            "Join" not in p
+            and p.count("HashAggregate") >= 4  # partial+final word & pair
+            and "partial_count" in p,
+        )
+    )
+
     # ---- parity sweep: digest-row join, oracle on executors ---------
     from xtract import parity as _parity
 

@@ -6699,3 +6699,78 @@ def skew_salted_join(spark, sf_dir):
         F.sum("v_c").cast("long").alias("sum_v_c"),
         F.max("tot_c").cast("long").alias("dim_tot_c"),
     )
+
+
+# =====================================================================
+# Tokenizer induction: one BPE merge round over the word-frequency
+# dictionary (Sennrich et al. 2016's scalable formulation)
+# =====================================================================
+BPE_TOP = 20
+
+
+@q(
+    "bpe_merge_round",
+    f"""
+    with words as (
+      select w, cast(count(*) as bigint) as wc
+      from (select unnest(regexp_extract_all(text, '[a-z0-9]+')) as w
+            from documents)
+      group by w
+    ),
+    pairs as (
+      select substr(w, i, 2) as pair, cast(sum(wc) as bigint) as cnt
+      from (select w, wc from words where len(w) >= 2),
+           lateral (select unnest(generate_series(1, len(w) - 1)) as i)
+      group by 1
+    )
+    select pair, cnt, rank from (
+      select pair, cnt,
+             cast(row_number() over (order by cnt desc, pair) as bigint)
+               as rank
+      from pairs
+    ) where rank <= {BPE_TOP}
+    """,
+)
+def bpe_merge_round(spark, sf_dir):
+    """One round of BPE-style merge scoring: count adjacent
+    character pairs within words, weighted by corpus word frequency,
+    and rank the top merge candidates — the inner loop of tokenizer
+    vocabulary induction. The scalable shape is Sennrich's: the ONLY
+    corpus-scale operation is the word-frequency aggregation
+    (map-side combinable hash agg); pair explosion, pair counting and
+    the top-k window all run over the VOCABULARY (|words|, then
+    |pairs| <= |alphabet|^2 rows), so a 100-TB corpus costs one word
+    shuffle and the merge loop never touches raw text again.
+    rank() over (cnt desc, pair) is a total order (pair unique), so
+    the cross-engine contract is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+    )
+    # vocabulary-scale window (constant partition key; |pairs| rows)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cnt").desc(), "pair")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_TOP)
+        .select("pair", "cnt", "rank")
+    )

@@ -372,3 +372,61 @@ def conv_dedup_pairs(sigs: DataFrame, min_bands: int = 2) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
+
+
+def conv_windows(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """GREEDY capacitated segmentation: split each conversation into
+    training windows of consecutive turns whose token sums stay
+    within ``budget`` — the sliding-context construction an SFT
+    pipeline feeds to fixed-context models. The greedy reset (a new
+    window starts exactly when adding the next turn would overflow)
+    is order-dependent state that no closed-form window function
+    expresses, so it runs as an applyInPandas kernel per
+    conversation — ONE conv_id shuffle, state bounded by the turns
+    of a single conversation (the same bound the streaming reorder
+    buffer already documents for mega-conversations). A turn larger
+    than the budget alone occupies its own window and is flagged
+    oversize. Tokens are the shared [a-z0-9]+ count, so the DuckDB
+    oracle can replay the exact recursion with a recursive CTE."""
+    import pandas as pd
+
+    out_schema = (
+        "conv_id string, window_id long, start_turn long, end_turn long,"
+        " n_turns long, window_toks long, oversize boolean"
+    )
+
+    def segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        rows = []
+        win, cur, start, n = 1, 0, None, 0
+        last = None
+        for t_idx, toks in zip(pdf["turn_idx"], pdf["toks"]):
+            t_idx, toks = int(t_idx), int(toks)
+            if n > 0 and cur + toks > budget:
+                rows.append((win, start, last, n, cur, cur > budget))
+                win, cur, start, n = win + 1, 0, None, 0
+            if n == 0:
+                start = t_idx
+            cur += toks
+            n += 1
+            last = t_idx
+        if n > 0:
+            rows.append((win, start, last, n, cur, cur > budget))
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "window_id": [r[0] for r in rows],
+                "start_turn": [r[1] for r in rows],
+                "end_turn": [r[2] for r in rows],
+                "n_turns": [r[3] for r in rows],
+                "window_toks": [r[4] for r in rows],
+                "oversize": [r[5] for r in rows],
+            }
+        )
+
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    return (
+        turns.select("conv_id", "turn_idx", toks.alias("toks"))
+        .groupBy("conv_id")
+        .applyInPandas(segment, schema=out_schema)
+    )
