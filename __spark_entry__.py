@@ -702,6 +702,63 @@ def _extraction_queries() -> dict[str, Callable]:
         )
         return structure.conv_windows(turns)
 
+    def x_windows_stream(spark, sf_dir):
+        """Streaming greedy window segmentation on the driver's hash
+        gate: windows_stream (applyInPandasWithState; constant
+        5-long state per conversation, tokenization JVM-side on the
+        stream) drains the materialized turns with an availableNow
+        trigger; final windows plus each conversation's latest open
+        tail reconstruct the full segmentation, and the oracle
+        replays the greedy fold with the same RECURSIVE CTE
+        x_conv_windows uses — one row that is simultaneously
+        cross-execution-mode (stream vs batch) and cross-paradigm
+        (stateful kernel vs declarative recursion). Single-batch
+        drain by design: parquet file order does not respect the
+        per-conversation arrival contract, so cross-batch window
+        cuts stay pinned by tests/test_streaming.py instead."""
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        from xtract import mat, streaming
+
+        mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        src = mat.path(sf_dir, "turns")
+        base = mat.path(sf_dir, "win_stream_run")
+        shutil.rmtree(base, ignore_errors=True)
+        streaming.run_to_parquet(
+            streaming.windows_stream(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src)
+            ),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        emitted = spark.read.parquet(os.path.join(base, "out"))
+        cols = [
+            "conv_id", "window_id", "start_turn", "end_turn",
+            "n_turns", "window_toks", "oversize",
+        ]
+        finals = emitted.where("final").select(*cols)
+        tails = (
+            emitted.where(~F.col("final"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("conv_id").orderBy(
+                        F.desc("window_id"), F.desc("n_turns")
+                    )
+                ),
+            )
+            .where("_rn = 1")
+            .select(*cols)
+        )
+        return finals.unionByName(tails)
+
     return {
         "x_extract_spans": x_extract_spans,
         "x_extract_relational": x_extract_relational,
@@ -724,6 +781,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_context_budget": x_context_budget,
         "x_conv_dedup": x_conv_dedup,
         "x_conv_windows": x_conv_windows,
+        "x_windows_stream": x_windows_stream,
     }
 
 
@@ -747,7 +805,7 @@ _SAMPLE_FIRST = [
     # rule's own table: dialogue transition matrix, context-window
     # accounting, conversation-level minhash dedup)
     "x_role_transitions", "x_context_budget", "x_conv_dedup",
-    "x_conv_windows",
+    "x_conv_windows", "x_windows_stream",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -755,7 +813,6 @@ _SAMPLE_FIRST = [
     "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate",
     "tfidf_cosine_pairs", "jsonl_ingest_stats",
-    "int8_ann_top3",
     # session-7 batch 2: one BPE merge round (tokenizer induction)
     "bpe_merge_round",
     # scd2_user_state and cohort_retention rotated to the tail for the
@@ -896,7 +953,7 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(*) as int) as n_parts
             from g group by conv_id, seg1"""
 
-    return {
+    oracles = {
         "x_extract_relational": f"""
             select conv_id, turn_idx, seq, question_number, qtype, span_text
             from read_parquet('{spans}')
@@ -1143,6 +1200,8 @@ def _extraction_oracles() -> dict[str, str]:
         # replays the greedy capacitated segmentation EXACTLY with a
         # recursive CTE (rn-ordered recursion per conversation) — the
         # declarative restatement of the stateful applyInPandas kernel
+        # (batch row) AND of the applyInPandasWithState streaming
+        # drain (x_windows_stream reuses this SQL verbatim below)
         "x_conv_windows": f"""
             with recursive t as (
               select conv_id, turn_idx,
@@ -1221,6 +1280,10 @@ def _extraction_oracles() -> dict[str, str]:
         group by 1, 2 having count(*) >= 8
         """,
     }
+    # the streaming drain must reconstruct to the identical greedy
+    # segmentation — one recursive-CTE restatement gates both rows
+    oracles["x_windows_stream"] = oracles["x_conv_windows"]
+    return oracles
 
 
 def oracle_sql() -> dict[str, str]:

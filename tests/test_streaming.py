@@ -597,3 +597,81 @@ def test_session_counts_stream_matches_batch(spark, tmp_path):
     )
     assert got == exp
     assert len(got) == 6  # 3 users x 2 closed sessions
+
+
+def test_windows_stream_matches_batch(spark, tmp_path):
+    """Streaming greedy window segmentation: turns arrive in two
+    micro-batches split mid-conversation; final rows + latest open
+    tails must equal structure.conv_windows window-for-window —
+    including windows cut by the batch boundary itself."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from xtract import gen, schema, structure
+
+    tr = gen.transcripts(spark, 12, partitions=2).cache()
+    mid = tr.agg(F.expr("percentile_approx(turn_idx, 0.5)")).collect()[0][0]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tr.filter(F.col("turn_idx") <= mid).coalesce(1).write.parquet(src + "/b0")
+    tr.filter(F.col("turn_idx") > mid).coalesce(1).write.parquet(src + "/b1")
+    for i, d in enumerate(("b0", "b1")):
+        (f,) = globmod.glob(f"{src}/{d}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1000000 + i * 100, 1000000 + i * 100))
+        shutil.rmtree(f"{src}/{d}")
+
+    stream = (
+        spark.readStream.schema(schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(
+        streaming.windows_stream(stream), out, str(tmp_path / "ck")
+    )
+
+    emitted = spark.read.parquet(out).collect()
+    finals = {}
+    tails = {}
+    for r in emitted:
+        if r.final:
+            finals[(r.conv_id, r.window_id)] = r
+        else:
+            prev = tails.get(r.conv_id)
+            # window_id advances monotonically; keep the latest tail
+            if prev is None or (r.window_id, r.n_turns) >= (
+                prev.window_id,
+                prev.n_turns,
+            ):
+                tails[r.conv_id] = r
+    for conv, r in tails.items():
+        finals.setdefault((conv, r.window_id), r)
+
+    got = sorted(
+        (
+            (k[0], k[1], r.start_turn, r.end_turn, r.n_turns,
+             r.window_toks, r.oversize)
+            for k, r in finals.items()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r.conv_id, r.window_id, r.start_turn, r.end_turn, r.n_turns,
+             r.window_toks, r.oversize)
+            for r in structure.conv_windows(tr).collect()
+        ),
+        key=repr,
+    )
+    assert got == want and len(got) > 0
+    # at least one conversation's window was cut by the batch boundary
+    # and completed from state (a final row emitted in batch 1 whose
+    # start_turn <= mid < end_turn)
+    assert any(
+        r.start_turn <= mid < r.end_turn for r in emitted if r.final
+    ) or any(r.start_turn <= mid < r.end_turn for r in tails.values())
+    tr.unpersist()

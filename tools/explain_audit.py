@@ -911,10 +911,12 @@ def main() -> None:
     p = plan_of(_st.conv_windows(tr))
     checks.append(
         (
-            "conv windows: stateful per-conversation kernel "
-            "(FlatMapGroupsInPandas) behind exactly ONE conv_id exchange, "
-            "join-free",
-            "FlatMapGroupsInPandas" in p and _nex(p) == 1 and "Join" not in p,
+            "conv windows: secondary-sort fold (exactly ONE conv_id "
+            "exchange -> within-partition Sort -> MapInPandas), join-free",
+            "MapInPandas" in p
+            and "Sort" in p
+            and _nex(p) == 1
+            and "Join" not in p,
         )
     )
     bpe = queries.QUERIES["bpe_merge_round"](spark, sf_dir)

@@ -650,3 +650,91 @@ def session_counts(
             "n_events",
         )
     )
+
+
+# ------------------------------------------------- streaming windows
+# Streaming twin of structure.conv_windows: greedy capacitated
+# training-window segmentation computed INCREMENTALLY as turns stream
+# in. State per conversation is one open window (5 ints); a window
+# emits final=true the moment the turn that overflows it arrives, and
+# the open window re-emits each batch with final=false. Consumers keep
+# final rows plus each conversation's latest non-final row — the same
+# reconstruction contract assemble_stream established. Arrival
+# contract: turn order within a conversation (the assemble_stream
+# contract); batch boundaries are free.
+
+WINDOWS_STREAM = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("start_turn", T.LongType(), False),
+        T.StructField("end_turn", T.LongType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("window_toks", T.LongType(), False),
+        T.StructField("oversize", T.BooleanType(), False),
+        T.StructField("final", T.BooleanType(), False),
+    ]
+)
+
+_WIN_STATE = T.StructType(
+    [
+        T.StructField("win_id", T.LongType(), False),
+        T.StructField("cur", T.LongType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("last", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+_WIN_COLS = [f.name for f in WINDOWS_STREAM.fields]
+
+
+def _win_fn(key, pdfs, state: GroupState):
+    from . import structure
+
+    budget = structure.CONTEXT_BUDGET
+    conv_id = key[0]
+    if state.exists:
+        win, cur, start, last, n = state.get
+    else:
+        win, cur, start, last, n = 1, 0, -1, -1, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        for t_idx, toks in zip(pdf["turn_idx"], pdf["toks"]):
+            t_idx, toks = int(t_idx), int(toks)
+            if n > 0 and cur + toks > budget:
+                out.append(
+                    (conv_id, win, start, last, n, cur, cur > budget, True)
+                )
+                win, cur, n = win + 1, 0, 0
+            if n == 0:
+                start = t_idx
+            cur += toks
+            n += 1
+            last = t_idx
+    state.update((win, cur, start, last, n))
+    if n > 0:
+        out.append((conv_id, win, start, last, n, cur, cur > budget, False))
+    yield pd.DataFrame(out, columns=_WIN_COLS)
+
+
+def windows_stream(transcripts: DataFrame) -> DataFrame:
+    """Greedy SFT-window segmentation over a streaming transcripts DF.
+    Tokenization ([a-z0-9]+ count, the engine-wide token rule) runs
+    JVM-side on the stream; the stateful kernel folds integers only.
+    At cluster scale the state store shards by conv_id — the same
+    partitioning every other stage uses — and per-conversation state
+    is a constant 5 longs regardless of conversation length, strictly
+    smaller than the assembly tail."""
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    keyed = transcripts.select(
+        "conv_id", "turn_idx", toks.cast("long").alias("toks")
+    )
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        _win_fn,
+        outputStructType=WINDOWS_STREAM,
+        stateStructType=_WIN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
