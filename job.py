@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         "files of ~this size (parquet paths only)",
     )
     ap.add_argument(
+        "--windows",
+        default=None,
+        help="optional sink for greedy context-budget training windows "
+        "(per-conversation capacitated segmentation)",
+    )
+    ap.add_argument(
         "--parity-sample",
         type=int,
         default=None,
@@ -190,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
             pipeline.conversation_stats(catalog.read_ref(spark, args.output)),
             args.stats,
         )
+    if args.windows:
+        from xtract import structure
+
+        catalog.write_ref(structure.conv_windows(df), args.windows)
     if args.assembled:
         from xtract import assemble
 

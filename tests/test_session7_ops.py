@@ -215,3 +215,28 @@ def test_bpe_merge_round_vs_python(spark):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert got == want
+
+
+def test_conv_windows_mega_conversation(spark):
+    """A conversation 100x the median must fold correctly through the
+    secondary-sort kernel (state is 6 scalars regardless of length)
+    and its windows must tile the conversation exactly."""
+    import pyspark.sql.functions as F2
+
+    n = 5000
+    mega = spark.range(n).select(
+        F2.lit("megaconv").alias("conv_id"),
+        F2.col("id").cast("int").alias("turn_idx"),
+        F2.concat(
+            F2.lit("tok "), F2.lit("word abc 123 " * 40), F2.col("id")
+        ).alias("text"),
+    )
+    wins = sorted(
+        structure.conv_windows(mega).collect(), key=lambda r: r.window_id
+    )
+    assert sum(r.n_turns for r in wins) == n
+    assert [r.window_id for r in wins] == list(range(1, len(wins) + 1))
+    for a, b in zip(wins, wins[1:]):
+        assert a.end_turn + 1 == b.start_turn
+    assert all(not r.oversize for r in wins)
+    assert all(r.window_toks <= structure.CONTEXT_BUDGET for r in wins)
