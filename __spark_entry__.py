@@ -657,6 +657,42 @@ def _extraction_queries() -> dict[str, Callable]:
         )
         return structure.context_budget(turns)
 
+    def x_loss_mask(spark, sf_dir):
+        """SFT LOSS-MASK span table over the materialized turns: for
+        every turn, the [start_tok, end_tok) token-offset interval it
+        occupies once its conversation is flattened to one token
+        sequence, plus the masked flag (loss only on assistant turns)
+        — the per-turn annotation a fine-tuning collator consumes.
+        One running-sum window over (conv_id ORDER BY turn_idx) with
+        an explicit ROWS frame ending at the previous row: a single
+        conv_id shuffle, |turns| fixed-width rows out, no join.
+        Offsets use the shared [a-z0-9]+ token count so both engines
+        accumulate identically."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.loss_mask(turns)
+
+    def x_turn_templates(spark, sf_dir):
+        """TEMPLATE / canned-reply detection over the materialized
+        turns: normalize each turn (lowercase, digit runs -> '#',
+        whitespace collapsed, first 80 chars), key on md5(norm), and
+        count occurrences + distinct conversations per (role,
+        template) class, keeping classes seen >= 2 times — per-turn
+        response dedup for chat corpora (boilerplate assistant
+        replies repeat across conversations even when whole
+        conversations are unique). Pure string expressions into a
+        map-side-combinable agg on a 32-byte key; no template text
+        transits the shuffle."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.turn_templates(turns)
+
     def x_conv_dedup(spark, sf_dir):
         """CONVERSATION-level near-dup detection: per-conversation
         minhash signatures built WITHOUT concatenating turn text —
@@ -779,6 +815,8 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_tool_latency": x_tool_latency,
         "x_role_transitions": x_role_transitions,
         "x_context_budget": x_context_budget,
+        "x_loss_mask": x_loss_mask,
+        "x_turn_templates": x_turn_templates,
         "x_conv_dedup": x_conv_dedup,
         "x_conv_windows": x_conv_windows,
         "x_windows_stream": x_windows_stream,
@@ -806,6 +844,9 @@ _SAMPLE_FIRST = [
     # accounting, conversation-level minhash dedup)
     "x_role_transitions", "x_context_budget", "x_conv_dedup",
     "x_conv_windows", "x_windows_stream",
+    # session-8 transcript rows (new this session): SFT loss-mask
+    # spans, per-turn template dedup; plus the tokenizer-apply row
+    "x_loss_mask", "x_turn_templates", "bpe_encode",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -834,7 +875,12 @@ _SAMPLE_FIRST = [
     # listed with the flagships above), temperature mixture weights,
     # deterministic weighted sampling, schema-evolution read, salted
     # replication join
-    "mixture_weights", "weighted_sample", "schema_evolution_read",
+    # mixture_weights, weighted_sample and schema_evolution_read
+    # rotated to the tail for the session-8 rows (x_loss_mask,
+    # x_turn_templates, bpe_encode): all three are pinned by exact
+    # pytest properties (IEEE-sqrt bit-identity, deterministic
+    # hash-priority race, mat.materialize_multi merge checks in
+    # test_session6_ops) and replica-PASS.
     "skew_salted_join",
     # rotated to the tail for the session-6 rows: winsorized_stats,
     # outlier_3sigma, decayed_engagement, k_anonymity_audit, word_pmi
@@ -1169,6 +1215,40 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(case when cum <= {structure.CONTEXT_BUDGET}
                               then 1 end) as bigint) as turns_within
             from c group by conv_id
+        """,
+        "x_loss_mask": f"""
+            with f as (
+              select conv_id, turn_idx, role,
+                     cast(len(regexp_extract_all(text, '[a-z0-9]+'))
+                          as bigint) as toks
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            )
+            select conv_id, turn_idx, role,
+                   cast(coalesce(sum(toks) over (
+                          partition by conv_id order by turn_idx
+                          rows between unbounded preceding
+                          and 1 preceding), 0) as bigint) as start_tok,
+                   cast(coalesce(sum(toks) over (
+                          partition by conv_id order by turn_idx
+                          rows between unbounded preceding
+                          and 1 preceding), 0) + toks
+                        as bigint) as end_tok,
+                   role <> 'assistant' as masked
+            from f
+        """,
+        "x_turn_templates": f"""
+            with f as (
+              select conv_id, role,
+                     md5(substr(trim(regexp_replace(regexp_replace(
+                           lower(text), '[0-9]+', '#', 'g'),
+                           '\\s+', ' ', 'g')), 1, 80)) as tkey
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            )
+            select role, tkey,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(count(distinct conv_id) as bigint) as n_convs
+            from f group by role, tkey
+            having count(*) >= 2
         """,
         # re-derives the clone corpus from the same turns parquet the
         # Spark plan reads (turn_idx%17<>3), then restates the

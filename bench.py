@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "chunk_overlap",
     "prefix_jaccard_pairs",
     "bpe_merge_round",
+    "bpe_encode",
     "zonemap_audit",
     "ffill_last_price",
     "decile_stats",
@@ -264,6 +265,13 @@ def main() -> None:
     t0 = time.monotonic()
     st_mod.conv_windows(tr).agg(F.count("*")).collect()
     timings["conv_windows"] = round(time.monotonic() - t0, 3)
+    # session-8: SFT loss-mask spans + per-turn template dedup
+    t0 = time.monotonic()
+    st_mod.loss_mask(tr).agg(F.count("*")).collect()
+    timings["loss_mask"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    st_mod.turn_templates(tr).agg(F.count("*")).collect()
+    timings["turn_templates"] = round(time.monotonic() - t0, 3)
 
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]

@@ -1,0 +1,160 @@
+"""Property tests for the session-8 operators: SFT loss-mask spans
+(offset reconstruction vs an exact Python replay of the running sum),
+turn-template detection (vs a pure-Python normalize+count model), and
+BPE encoding against the fixed merge table (vs a pure-Python referee
+implementing the same delimiter-complete replace contract, plus the
+overlap edge cases that motivated the bracketed-token string form).
+The cross-engine value contract is covered by tools/check_contract.py
+/ the driver; these pin the operator-level semantics the contract
+can't see."""
+import re
+from collections import Counter, defaultdict
+
+import __spark_entry__ as entrymod
+from xtract import queries as q
+from xtract import structure
+
+SF = "/root/testdata/sf0.001"
+
+
+def _turns(spark):
+    return entrymod._derived_transcripts(spark, SF).cache()
+
+
+def _toks(text):
+    return len(re.findall(r"[a-z0-9]+", text))
+
+
+def test_loss_mask_vs_python(spark):
+    turns = _turns(spark)
+    rows = sorted(
+        turns.select("conv_id", "turn_idx", "role", "text").collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    want = {}
+    cum = defaultdict(int)
+    for r in rows:
+        n = _toks(r.text)
+        start = cum[r.conv_id]
+        want[(r.conv_id, r.turn_idx)] = (
+            r.role,
+            start,
+            start + n,
+            r.role != "assistant",
+        )
+        cum[r.conv_id] = start + n
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.start_tok, r.end_tok, r.masked)
+        for r in structure.loss_mask(turns).collect()
+    }
+    assert got == want
+
+
+def test_loss_mask_spans_tile(spark):
+    """Per conversation the spans are contiguous, start at 0, and the
+    last end_tok equals the conversation's total token count — the
+    invariant a collator needs to index a flattened token buffer."""
+    turns = _turns(spark)
+    by_conv = defaultdict(list)
+    for r in structure.loss_mask(turns).collect():
+        by_conv[r.conv_id].append(r)
+    totals = {
+        r.conv_id: r.total
+        for r in turns.groupBy("conv_id")
+        .agg(
+            q.F.sum(
+                q.F.size(
+                    q.F.regexp_extract_all(
+                        q.F.col("text"), q.F.lit("[a-z0-9]+"), 0
+                    )
+                )
+            ).alias("total")
+        )
+        .collect()
+    }
+    assert by_conv
+    for conv, rows in by_conv.items():
+        rows.sort(key=lambda r: r.turn_idx)
+        assert rows[0].start_tok == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_tok == b.start_tok
+        assert rows[-1].end_tok == totals[conv]
+        # loss is computed somewhere: at least one unmasked turn per
+        # corpus (roles cycle, so assistant turns exist)
+    assert any(not r.masked for rows in by_conv.values() for r in rows)
+
+
+def _norm(text):
+    s = re.sub(r"[0-9]+", "#", text.lower())
+    s = re.sub(r"\s+", " ", s).strip()
+    return s[:80]
+
+
+def test_turn_templates_vs_python(spark):
+    turns = _turns(spark)
+    rows = turns.select("conv_id", "role", "text").collect()
+    n_turns = Counter()
+    convs = defaultdict(set)
+    for r in rows:
+        k = (r.role, _norm(r.text))
+        n_turns[k] += 1
+        convs[k].add(r.conv_id)
+    want = {
+        k: (n, len(convs[k])) for k, n in n_turns.items() if n >= 2
+    }
+    got = {}
+    import hashlib
+
+    for r in structure.turn_templates(turns).collect():
+        got[(r.role, r.tkey)] = (r.n_turns, r.n_convs)
+    assert len(got) == len(want)
+    for (role, norm), v in want.items():
+        key = hashlib.md5(norm.encode()).hexdigest()
+        assert got[(role, key)] == v
+
+
+def _bpe_ref(word):
+    """Pure-Python referee for the encode contract: bracket each char,
+    then for each merge in rank order do ONE left-to-right
+    non-overlapping replace pass (Python str.replace semantics —
+    the exact contract both engines implement)."""
+    s = "".join(f"<{c}>" for c in word)
+    for m in q.BPE_MERGES:
+        s = s.replace(f"<{m[0]}><{m[1]}>", f"<{m[0]}~{m[1]}>")
+    return s
+
+
+def test_bpe_encode_vs_python(spark):
+    out = {r.w: (r.wc, r.n_tokens, r.encoded) for r in
+           q.QUERIES["bpe_encode"](spark, SF).collect()}
+    docs = q.t(spark, SF, "documents").select("text").collect()
+    freq = Counter(
+        w for r in docs for w in re.findall(r"[a-z0-9]+", r.text)
+    )
+    assert set(out) == set(freq)
+    for w, wc in freq.items():
+        enc = _bpe_ref(w)
+        assert out[w] == (wc, enc.count("<"), enc), w
+
+
+def test_bpe_encode_overlap_edges(spark):
+    """The delimiter-complete bracketed form makes the left-to-right
+    non-overlapping replace unambiguous: runs like 'ananan' (merge
+    'an') must merge greedily left-to-right without a merged token
+    ever re-matching, and a merged token must not false-match a later
+    merge that shares a character."""
+    import pandas as pd
+
+    words = ["ananan", "aanan", "thth", "tthhe", "thee", "errere"]
+    df = spark.createDataFrame(pd.DataFrame({"text": [" ".join(words)]}))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    # reuse the query against a one-doc corpus written as documents
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.w: r.encoded for r in
+           q.QUERIES["bpe_encode"](spark, d).collect()}
+    for w in words:
+        assert got[w] == _bpe_ref(w), w
+    # spot-pin the two interesting shapes explicitly
+    assert got["ananan"] == "<a~n><a~n><a~n>"
+    assert got["thth"] == "<t~h><t~h>"

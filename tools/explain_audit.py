@@ -932,6 +932,41 @@ def main() -> None:
         )
     )
 
+    # ---- session-8: loss-mask spans, template dedup, BPE encode -----
+    p = plan_of(_st.loss_mask(tr))
+    checks.append(
+        (
+            "loss mask: exactly ONE conv_id exchange feeding the "
+            "running-sum window, join-free, no Python",
+            _nex(p) == 1
+            and "Window" in p
+            and "Join" not in p
+            and "Python" not in p,
+        )
+    )
+    p = plan_of(_st.turn_templates(tr))
+    checks.append(
+        (
+            "turn templates: map-side partial agg on the 32-byte md5 key "
+            "(template text never transits the shuffle), join-free",
+            "partial" in p.lower()
+            and "Join" not in p
+            # the row entering the exchange carries tkey (md5), not text
+            and "text" not in p.split("Exchange", 1)[1].splitlines()[0],
+        )
+    )
+    p = plan_of(queries.QUERIES["bpe_encode"](spark, sf_dir))
+    checks.append(
+        (
+            "bpe encode: ONE word hash-agg exchange; the 20-merge replace "
+            "chain is pure codegen expressions (no UDF, no join)",
+            _nex(p) == 1
+            and "Join" not in p
+            and "Python" not in p
+            and "partial_count" in p,
+        )
+    )
+
     # ---- parity sweep: digest-row join, oracle on executors ---------
     from xtract import parity as _parity
 

@@ -6774,3 +6774,87 @@ def bpe_merge_round(spark, sf_dir):
         .filter(F.col("rank") <= BPE_TOP)
         .select("pair", "cnt", "rank")
     )
+
+
+# =====================================================================
+# Tokenizer application: BPE-encode the corpus vocabulary against a
+# fixed merge table (the inference-side complement of bpe_merge_round)
+# =====================================================================
+# The merge table is a MODEL ARTIFACT (learned once, then broadcast to
+# every encoder), not derived from the batch being encoded — exactly
+# how production tokenizers ship merges.txt. Rank = list position.
+BPE_MERGES = [
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+]
+
+
+def _bpe_oracle_expr() -> str:
+    """Nested-replace encode chain for the DuckDB oracle: chars are
+    bracketed '<c>' so merge patterns '<a><b>' can never overlap or
+    false-match inside an already-merged token '<a~b>'."""
+    e = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+    for a, b in ((m[0], m[1]) for m in BPE_MERGES):
+        e = f"replace({e}, '<{a}><{b}>', '<{a}~{b}>')"
+    return e
+
+
+@q(
+    "bpe_encode",
+    f"""
+    with words as (
+      select w, cast(count(*) as bigint) as wc
+      from (select unnest(regexp_extract_all(text, '[a-z0-9]+')) as w
+            from documents)
+      group by w
+    ),
+    enc as (
+      select w, wc, {_bpe_oracle_expr()} as encoded
+      from words
+    )
+    select w, wc,
+           cast(len(encoded) - len(replace(encoded, '<', ''))
+                as bigint) as n_tokens,
+           encoded
+    from enc
+    """,
+)
+def bpe_encode(spark, sf_dir):
+    """BPE ENCODING against a fixed 20-merge table — the inference
+    side of tokenizer induction (bpe_merge_round learns merges; this
+    applies them, tokenizers-library style). The only corpus-scale
+    operation is the word-frequency hash agg (map-side combinable);
+    encoding then runs over the VOCABULARY, so a 100-TB corpus pays
+    one word shuffle and each distinct word is encoded exactly once
+    (the per-document expansion is a broadcast joinback if a caller
+    needs it). The encode itself is a chain of 20 native `replace`
+    calls over a bracketed-token string form ('<h><e><l><l><o>'):
+    single chars are wrapped '<c>' and merge (a,b) rewrites
+    '<a><b>' -> '<a~b>', so patterns can never overlap (every match
+    is delimiter-complete) and a merged token can never false-match a
+    later merge — making Spark's and DuckDB's left-to-right
+    non-overlapping replace semantics provably identical here. All
+    whole-stage codegen; no UDF. Because merges are char-pair only,
+    one rank-ordered pass IS the fixpoint: merging can only destroy
+    single-char adjacencies, never create them."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    enc = F.regexp_replace(F.col("w"), "(.)", "<$1>")
+    for m in BPE_MERGES:
+        enc = F.replace(enc, F.lit(f"<{m[0]}><{m[1]}>"), F.lit(f"<{m[0]}~{m[1]}>"))
+    return words.select(
+        "w",
+        "wc",
+        (F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+        enc.alias("encoded"),
+    )

@@ -444,3 +444,69 @@ def conv_windows(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
         .sortWithinPartitions("conv_id", "turn_idx")
         .mapInPandas(segment, schema=out_schema)
     )
+
+
+def loss_mask(turns: DataFrame) -> DataFrame:
+    """SFT loss-mask span table: for every turn, the [start_tok,
+    end_tok) token-offset interval it occupies in its conversation's
+    packed token stream and whether the trainer masks it (loss is
+    computed only on assistant turns; user/tool turns are context).
+    This is the per-turn annotation a supervised fine-tuning collator
+    consumes after conversations are flattened to one token sequence.
+    Offsets come from ONE running-sum window over
+    (conv_id ORDER BY turn_idx) with an explicit ROWS frame ending at
+    the previous row — a single conv_id shuffle, no join; at 10^12
+    turns the output is exactly |turns| fixed-width rows and the
+    window state per group is one long. Tokens are the shared
+    [a-z0-9]+ count (tok_count / context_budget discipline), so both
+    engines count identically."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    f = turns.select("conv_id", "turn_idx", "role", toks.alias("toks"))
+    start = F.coalesce(F.sum("toks").over(w), F.lit(0))
+    return f.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.cast("long").alias("start_tok"),
+        (start + F.col("toks")).cast("long").alias("end_tok"),
+        (F.col("role") != F.lit("assistant")).alias("masked"),
+    )
+
+
+def turn_templates(turns: DataFrame, min_occ: int = 2) -> DataFrame:
+    """Template / canned-reply detection: normalize each turn's text
+    (lowercase, digit runs collapsed to '#', whitespace collapsed,
+    first 80 chars) and count occurrences + distinct conversations
+    per (role, template) class — the per-turn analogue of document
+    dedup that catches boilerplate assistant replies repeated across
+    conversations (the SlimPajama/RefinedWeb motivation for
+    response-level dedup in chat corpora). The normalization is pure
+    string expressions (whole-stage codegen); the agg keys on a
+    32-byte md5 so no template text transits the shuffle, and it is
+    map-side combinable — at 10^12 turns the reduce side sees at most
+    |distinct templates| rows per partition."""
+    norm = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+                r"\s+",
+                " ",
+            )
+        ),
+        1,
+        80,
+    )
+    f = turns.select("conv_id", "role", F.md5(norm).alias("tkey"))
+    return (
+        f.groupBy("role", "tkey")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .filter(F.col("n_turns") >= min_occ)
+    )
