@@ -140,10 +140,37 @@ def cached_transcripts(spark, n_convs: int, parts: int = 64) -> str:
     return path
 
 
+def host_probe(threads: int) -> float:
+    """Delivered-CPU probe: GIL-releasing md5 over 1 MiB buffers on
+    ``threads`` Python threads, returning aggregate MB/s. The sandbox
+    host's delivered CPU/memory bandwidth swings by up to ~8x on a
+    minutes timescale (diagnosed with interleaved probes in
+    BENCH/BASELINE.md); embedding the probe in every bench JSON line
+    lets a reader normalize one-shot timings against what the host
+    was actually delivering during the run."""
+    import concurrent.futures as cf
+    import hashlib
+
+    buf = b"x" * (1 << 20)
+    per_thread_mb = 100
+
+    def work(_):
+        h = hashlib.md5()
+        for _ in range(per_thread_mb):
+            h.update(buf)
+        return h.hexdigest()
+
+    t0 = time.monotonic()
+    with cf.ThreadPoolExecutor(threads) as ex:
+        list(ex.map(work, range(threads)))
+    return round(threads * per_thread_mb / (time.monotonic() - t0), 1)
+
+
 def main() -> None:
     from xtract import pipeline, queries, session
 
     sf = sf_of(SF_DIR)
+    probe_start = host_probe(CPUS)
     spark = session.build(app="xtract-bench", cores=CPUS, shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
 
@@ -281,6 +308,7 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    probe_end = host_probe(CPUS)
     print(
         json.dumps(
             {
@@ -289,6 +317,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "cpus": CPUS,
+                "host_probe_mbps": {"start": probe_start, "end": probe_end},
                 "queries": timings,
                 "html": {
                     "pages": n_pages,
