@@ -693,6 +693,59 @@ def _extraction_queries() -> dict[str, Callable]:
         )
         return structure.turn_templates(turns)
 
+    def x_stream_dedup(spark, sf_dir):
+        """Streaming EXACT dedup of retried crawl deliveries:
+        the materialized turns are re-delivered with every 5th turn
+        duplicated (same (conv_id, turn_idx, text, ts) — the retry
+        shape), streamed through dropDuplicatesWithinWatermark on the
+        turn natural key, and drained availableNow into parquet; the
+        report re-aggregates the WRITTEN rows per conversation. The
+        oracle derives the same accounting from the same re-delivery
+        parquet with a plain DISTINCT, so a green row certifies that
+        the watermark-scoped streaming dedup equals batch dedup on
+        this corpus. The driver row pins the semantics; the
+        state-EVICTION behavior (a duplicate arriving after the
+        watermark passed its event time is NOT dropped — the bounded
+        -state trade) is pinned by tests/test_streaming.py with two
+        checkpointed drains. Watermark here is wide (3650 days) so the
+        row is deterministic under any micro-batch file split."""
+        import os
+        import shutil
+
+        from xtract import mat, streaming
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        mat.materialize(
+            spark,
+            sf_dir,
+            "turns_redeliver",
+            lambda: turns.unionByName(
+                turns.filter(F.col("turn_idx") % 5 == 0)
+            ),
+        )
+        src = mat.path(sf_dir, "turns_redeliver")
+        base = mat.path(sf_dir, "dedup_stream_run")
+        shutil.rmtree(base, ignore_errors=True)
+        streaming.run_to_parquet(
+            streaming.dedup_transcripts(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src),
+                watermark="3650 days",
+            ),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        emitted = spark.read.parquet(os.path.join(base, "out"))
+        return emitted.groupBy("conv_id").agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min("turn_idx").cast("long").alias("first_idx"),
+            F.max("turn_idx").cast("long").alias("last_idx"),
+        )
+
     def x_conv_dedup(spark, sf_dir):
         """CONVERSATION-level near-dup detection: per-conversation
         minhash signatures built WITHOUT concatenating turn text —
@@ -817,6 +870,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_context_budget": x_context_budget,
         "x_loss_mask": x_loss_mask,
         "x_turn_templates": x_turn_templates,
+        "x_stream_dedup": x_stream_dedup,
         "x_conv_dedup": x_conv_dedup,
         "x_conv_windows": x_conv_windows,
         "x_windows_stream": x_windows_stream,
@@ -846,7 +900,8 @@ _SAMPLE_FIRST = [
     "x_conv_windows", "x_windows_stream",
     # session-8 transcript rows (new this session): SFT loss-mask
     # spans, per-turn template dedup; plus the tokenizer-apply row
-    "x_loss_mask", "x_turn_templates", "bpe_encode",
+    # and the streaming retry-dedup row
+    "x_loss_mask", "x_turn_templates", "bpe_encode", "x_stream_dedup",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
@@ -854,8 +909,9 @@ _SAMPLE_FIRST = [
     "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate",
     "tfidf_cosine_pairs", "jsonl_ingest_stats",
-    # session-7 batch 2: one BPE merge round (tokenizer induction)
-    "bpe_merge_round",
+    # bpe_merge_round rotated to the tail for x_stream_dedup: its
+    # plan shape is audit-asserted, its sibling bpe_encode (same word
+    # hash-agg subtree) stays sampled, and it is replica-PASS.
     # scd2_user_state and cohort_retention rotated to the tail for the
     # session-7 batch-2 rows — both pinned by exact pytest invariants
     # (test_pipeline_ops: range-tiling check, offset0-cohort-size
@@ -1215,6 +1271,20 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(case when cum <= {structure.CONTEXT_BUDGET}
                               then 1 end) as bigint) as turns_within
             from c group by conv_id
+        """,
+        # plain DISTINCT over the same re-delivery parquet the stream
+        # drains: streaming watermark dedup must equal batch dedup
+        "x_stream_dedup": f"""
+            with d as (
+              select distinct conv_id, turn_idx, text
+              from read_parquet('{mat.glob("sf0.01", "turns_redeliver")}')
+            )
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(len(text)) as bigint) as n_chars,
+                   cast(min(turn_idx) as bigint) as first_idx,
+                   cast(max(turn_idx) as bigint) as last_idx
+            from d group by conv_id
         """,
         "x_loss_mask": f"""
             with f as (

@@ -675,3 +675,96 @@ def test_windows_stream_matches_batch(spark, tmp_path):
         r.start_turn <= mid < r.end_turn for r in emitted if r.final
     ) or any(r.start_turn <= mid < r.end_turn for r in tails.values())
     tr.unpersist()
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark with a wide watermark equals
+    batch dropDuplicates on a corpus with exact re-deliveries."""
+    src = str(tmp_path / "redeliver")
+    t = gen.transcripts(spark, 4)
+    t.unionByName(t.filter(F.col("turn_idx") % 3 == 0)).write.parquet(src)
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(
+        streaming.dedup_transcripts(
+            streaming.read_transcript_stream(spark, src), watermark="3650 days"
+        ),
+        out,
+        str(tmp_path / "ck"),
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()
+    )
+    exp = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(src)
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .collect()
+    )
+    assert got == exp
+    # the re-deliveries were actually dropped (input had more rows)
+    assert spark.read.parquet(src).count() > len(got)
+
+
+def test_stream_dedup_state_eviction(spark, tmp_path):
+    """The bounded-state trade made explicit: once the event-time
+    watermark passes a key's stored timestamp, its dedup state is
+    EVICTED, and a re-delivery arriving later than the watermark gap
+    is emitted AGAIN. Three checkpointed availableNow drains over one
+    growing file source; a same-batch duplicate inside the watermark
+    window is still dropped."""
+    import datetime as dt
+
+    import pandas as pd
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def row(idx, hours):
+        return {
+            "conv_id": "c",
+            "turn_idx": idx,
+            "role": "user",
+            "text": f"turn {idx}",
+            "tool": None,
+            "ts": t0 + dt.timedelta(hours=hours),
+        }
+
+    def drain(rows, part):
+        spark.createDataFrame(pd.DataFrame(rows)).selectExpr(
+            "conv_id", "cast(turn_idx as int) turn_idx", "role",
+            "text", "cast(tool as string) tool", "ts",
+        ).write.mode("append").parquet(src)
+        streaming.run_to_parquet(
+            streaming.dedup_transcripts(
+                spark.readStream.schema(schema).parquet(src),
+                watermark="1 hour",
+            ),
+            out,
+            ck,
+        )
+
+    # batch 1: key (c,1) at 10:00 -> emitted; watermark ends at 09:00
+    drain([row(1, 0)], 1)
+    # batch 2: key (c,99) at 14:00 twice (same batch, inside the
+    # window -> deduped to one row); watermark ends at 13:00, which
+    # passes (c,1)'s stored ts 10:00 -> its state is evicted
+    drain([row(99, 4), row(99, 4)], 2)
+    # batch 3: (c,1) re-delivered at 15:00 -> state gone -> emitted
+    # AGAIN
+    drain([row(1, 5)], 3)
+
+    emitted = [
+        (r.turn_idx, r.ts)
+        for r in spark.read.parquet(out).collect()
+    ]
+    by_key = {}
+    for idx, ts in emitted:
+        by_key.setdefault(idx, []).append(ts)
+    assert len(by_key[99]) == 1  # in-window duplicate dropped
+    assert len(by_key[1]) == 2  # post-eviction re-delivery re-emitted
