@@ -31,7 +31,18 @@ def main(argv: list[str] | None = None) -> int:
             "Iceberg/catalog table, gen:<n_convs> for synthetic input, "
             "pdf:<dir> for a directory of PDF pages, html:<dir> for "
             "a directory of HTML pages (boilerplate-stripped first), "
-            "or ocrjson:<glob> for layout-parser JSON result envelopes"
+            "ocrjson:<glob> for layout-parser JSON result envelopes, "
+            "or jsonl:<glob> for JSON-lines transcript deliveries "
+            "(PERMISSIVE parse; malformed lines quarantined, see "
+            "--quarantine)"
+        ),
+    )
+    ap.add_argument(
+        "--quarantine",
+        default=None,
+        help=(
+            "with --input jsonl:, also write the raw malformed lines "
+            "to this parquet path (column: raw)"
         ),
     )
     ap.add_argument(
@@ -150,8 +161,27 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import ingest
 
         df = ingest.read_envelopes(spark, args.input[8:])
+    elif args.input.startswith("jsonl:"):
+        from xtract import ingest
+
+        parsed = ingest.read_jsonl_transcripts(spark, args.input[6:])
+        bad = ingest.corrupt_rows(parsed)
+        if args.quarantine:
+            catalog.write_ref(bad, args.quarantine, bucket_col=None)
+            n_quarantined = catalog.count_ref(spark, args.quarantine)
+        else:
+            n_quarantined = bad.count()
+        df = ingest.good_rows(parsed)
     else:
         df = catalog.read_ref(spark, args.input)
+    if not args.input.startswith("jsonl:"):
+        n_quarantined = None
+    elif args.quarantine is None and n_quarantined:
+        print(
+            f"warning: {n_quarantined} malformed jsonl lines dropped "
+            "(no --quarantine sink given)",
+            file=sys.stderr,
+        )
 
     if args.checkpoint and catalog.is_table_ref(args.output):
         ap.error(
@@ -270,6 +300,11 @@ def main(argv: list[str] | None = None) -> int:
                 "mode": args.mode,
                 "sec": round(wall, 2),
                 "turns_per_sec": round(n_turns / wall, 1),
+                **(
+                    {"quarantined": n_quarantined}
+                    if n_quarantined is not None
+                    else {}
+                ),
                 **{k: v for k, v in result.items() if v is not None},
             }
         )

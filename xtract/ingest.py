@@ -77,3 +77,49 @@ def read_envelopes(spark: SparkSession, path: str) -> DataFrame:
         F.lit("layout").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+JSONL_TRANSCRIPT_FIELDS = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp, _corrupt string"
+)
+
+
+def read_jsonl_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines transcript reader for crawl deliveries: a plain
+    line-splittable text scan parsed with ``from_json`` in PERMISSIVE
+    mode so torn / malformed lines land in the struct's ``_corrupt``
+    field instead of failing the job (the jsonl_ingest robustness
+    contract, applied to the production input surface). Built on
+    read.text + from_json rather than the schema'd PERMISSIVE json
+    reader because Spark disallows plans that reference ONLY the
+    corrupt-record column on raw JSON
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    documented remedy is caching the parse, which is exactly wrong at
+    corpus scale; this form keeps both the good-row split and the
+    quarantine split as independent parallel scans. Note PERMISSIVE
+    from_json returns an all-null-fields struct (not a null struct)
+    for malformed input, so corruption MUST be keyed on the declared
+    _corrupt field, never on struct nullness. Returns
+    (raw string, r struct) rows; split with good_rows /
+    corrupt_rows."""
+    return spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            "value",
+            JSONL_TRANSCRIPT_FIELDS,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+    )
+
+
+def good_rows(parsed: DataFrame) -> DataFrame:
+    return (
+        parsed.filter(F.col("r._corrupt").isNull())
+        .select("r.*")
+        .drop("_corrupt")
+    )
+
+
+def corrupt_rows(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("r._corrupt").isNotNull()).select("raw")
