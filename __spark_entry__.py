@@ -746,6 +746,43 @@ def _extraction_queries() -> dict[str, Callable]:
             F.max("turn_idx").cast("long").alias("last_idx"),
         )
 
+    def x_stream_upsert(spark, sf_dir):
+        """Continuously-materialized windowed aggregate: the turns
+        stream drains through an UPDATE-mode (hour-window, role)
+        count whose foreachBatch sink dynamically overwrites exactly
+        the parquet partitions of the groups each micro-batch
+        changed (partition key == group key; MERGE-INTO stand-in for
+        a parquet-only runtime). The report re-aggregates the
+        WRITTEN table; the oracle computes the same (hour, role)
+        counts straight from the turns parquet — green means the
+        upsert-maintained table equals the batch aggregate of
+        everything delivered. Incremental multi-drain maintenance is
+        pinned by tests/test_streaming.py."""
+        import os
+        import shutil
+
+        from xtract import mat, streaming
+
+        mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        src = mat.path(sf_dir, "turns")
+        base = mat.path(sf_dir, "upsert_stream_run")
+        shutil.rmtree(base, ignore_errors=True)
+        streaming.upsert_windowed_counts(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        emitted = spark.read.parquet(os.path.join(base, "out"))
+        return emitted.select(
+            F.col("win_start").cast("timestamp").cast("long").alias("win_s"),
+            "role",
+            F.col("n_turns").cast("long").alias("n_turns"),
+        )
+
     def x_conv_dedup(spark, sf_dir):
         """CONVERSATION-level near-dup detection: per-conversation
         minhash signatures built WITHOUT concatenating turn text —
@@ -871,6 +908,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_loss_mask": x_loss_mask,
         "x_turn_templates": x_turn_templates,
         "x_stream_dedup": x_stream_dedup,
+        "x_stream_upsert": x_stream_upsert,
         "x_conv_dedup": x_conv_dedup,
         "x_conv_windows": x_conv_windows,
         "x_windows_stream": x_windows_stream,
@@ -902,13 +940,18 @@ _SAMPLE_FIRST = [
     # spans, per-turn template dedup; plus the tokenizer-apply row
     # and the streaming retry-dedup row
     "x_loss_mask", "x_turn_templates", "bpe_encode", "x_stream_dedup",
+    # foreachBatch upsert-maintained table (jsonl_ingest_stats rotates
+    # to the tail for it: replica-PASS, and its robustness contract is
+    # now ALSO driven end-to-end on the job surface by
+    # tests/test_jsonl_job.py)
+    "x_stream_upsert",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
     "session_events_native", "vocab_oov",
     "bloom_dedup_exact", "domain_quality_gate",
-    "tfidf_cosine_pairs", "jsonl_ingest_stats",
+    "tfidf_cosine_pairs",
     # bpe_merge_round rotated to the tail for x_stream_dedup: its
     # plan shape is audit-asserted, its sibling bpe_encode (same word
     # hash-agg subtree) stays sampled, and it is replica-PASS.
@@ -1271,6 +1314,16 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(case when cum <= {structure.CONTEXT_BUDGET}
                               then 1 end) as bigint) as turns_within
             from c group by conv_id
+        """,
+        # the upsert-maintained table must equal the batch (hour,
+        # role) aggregate computed straight from the turns parquet
+        "x_stream_upsert": f"""
+            select cast(floor(epoch(date_trunc('hour', ts))) as bigint)
+                     as win_s,
+                   role,
+                   cast(count(*) as bigint) as n_turns
+            from read_parquet('{mat.glob("sf0.01", "turns")}')
+            group by 1, 2
         """,
         # plain DISTINCT over the same re-delivery parquet the stream
         # drains: streaming watermark dedup must equal batch dedup

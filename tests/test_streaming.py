@@ -768,3 +768,76 @@ def test_stream_dedup_state_eviction(spark, tmp_path):
         by_key.setdefault(idx, []).append(ts)
     assert len(by_key[99]) == 1  # in-window duplicate dropped
     assert len(by_key[1]) == 2  # post-eviction re-delivery re-emitted
+
+
+def test_upsert_windowed_counts_incremental(spark, tmp_path):
+    """The foreachBatch upsert sink maintains a table that equals the
+    batch aggregate after EVERY drain: unchanged groups survive a
+    later batch's dynamic overwrite (partition key == group key), and
+    changed groups are replaced, never duplicated."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(specs):
+        return [
+            {
+                "conv_id": "c",
+                "turn_idx": i,
+                "role": role,
+                "text": "t",
+                "tool": None,
+                "ts": t0 + dt.timedelta(minutes=minutes),
+            }
+            for i, (role, minutes) in enumerate(specs)
+        ]
+
+    def deliver(specs):
+        spark.createDataFrame(pd.DataFrame(rows(specs))).selectExpr(
+            "conv_id", "cast(turn_idx as int) turn_idx", "role",
+            "text", "cast(tool as string) tool", "ts",
+        ).write.mode("append").parquet(src)
+        streaming.upsert_windowed_counts(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            out,
+            ck,
+        )
+
+    def table():
+        # partition-value inference types win_part as int on read-back
+        return sorted(
+            (str(r.win_part), r.role, r.n_turns)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    def expected():
+        return sorted(
+            (r.wp, r.role, r.n)
+            for r in spark.read.parquet(src)
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyyMMddHH"
+                ).alias("wp"),
+                "role",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    # drain 1: hour-10 user turns + hour-11 assistant turn
+    deliver([("user", 0), ("user", 30), ("assistant", 70)])
+    assert table() == expected()
+    # drain 2: updates hour-10/user (count 2 -> 3) and adds
+    # hour-11/user; hour-11/assistant is untouched by this batch and
+    # must survive the dynamic overwrite
+    deliver([("user", 40), ("user", 80)])
+    assert table() == expected()
+    assert ("2026010111", "assistant", 1) in table()
+    assert ("2026010110", "user", 3) in table()

@@ -738,3 +738,56 @@ def windows_stream(transcripts: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def upsert_windowed_counts(
+    transcripts: DataFrame,
+    path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "3650 days",
+) -> None:
+    """Continuously-materialized windowed aggregate via foreachBatch
+    UPSERT: event-time tumbling (window, role) counts in UPDATE mode,
+    each micro-batch dynamically overwriting ONLY the parquet
+    partitions of the groups it changed — the keep-a-table-current
+    sink pattern for engines without MERGE (with Iceberg/Delta in the
+    runtime this foreachBatch body becomes a single MERGE INTO).
+    The partition key is the FULL group key (win_part, role):
+    update-mode batches emit only changed groups, so overwriting a
+    coarser partition (e.g. the window alone) would drop that
+    window's unchanged sibling groups — partition granularity must
+    equal upsert granularity. Replaying a batch rewrites the same
+    partitions with the same rows, so the sink is idempotent under
+    retries; availableNow + checkpoint resume the stream across
+    drains and the table always equals the batch aggregate of
+    everything delivered so far (late data beyond the watermark is
+    dropped by the agg, the documented trade)."""
+    agg = (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.date_format(F.col("win.start"), "yyyyMMddHH").alias("win_part"),
+            "role",
+            "n_turns",
+        )
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_part", "role")
+            .parquet(path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
