@@ -783,6 +783,27 @@ def _extraction_queries() -> dict[str, Callable]:
             F.col("n_turns").cast("long").alias("n_turns"),
         )
 
+    def x_window_supervision(spark, sf_dir):
+        """SUPERVISION DENSITY per training window: greedy context
+        windows (same fold as x_conv_windows) scored by how many of
+        their tokens carry loss (assistant turns) — the metric that
+        finds all-context windows before they burn training compute.
+        Composed JOIN-FREE: the window id is assigned per turn inside
+        the linear secondary-sort fold and the (conv_id, window_id)
+        agg runs over the fold's compact fixed-width output (map-side
+        combined; text never reaches the second exchange); a
+        windows-BETWEEN-turns join would go quadratic on
+        mega-conversations. The oracle replays
+        the same greedy recursion (RECURSIVE CTE, role carried
+        through) and aggregates identically, so a green row certifies
+        fold + composition + integer ppm arithmetic across engines."""
+        from xtract import mat
+
+        turns = mat.materialize(
+            spark, sf_dir, "turns", lambda: _derived_transcripts(spark, sf_dir)
+        )
+        return structure.window_supervision(turns)
+
     def x_conv_dedup(spark, sf_dir):
         """CONVERSATION-level near-dup detection: per-conversation
         minhash signatures built WITHOUT concatenating turn text —
@@ -909,6 +930,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "x_turn_templates": x_turn_templates,
         "x_stream_dedup": x_stream_dedup,
         "x_stream_upsert": x_stream_upsert,
+        "x_window_supervision": x_window_supervision,
         "x_conv_dedup": x_conv_dedup,
         "x_conv_windows": x_conv_windows,
         "x_windows_stream": x_windows_stream,
@@ -945,12 +967,16 @@ _SAMPLE_FIRST = [
     # now ALSO driven end-to-end on the job surface by
     # tests/test_jsonl_job.py)
     "x_stream_upsert",
+    # per-window supervision density (domain_quality_gate rotates to
+    # the tail for it: exact pytest property in test_pipeline_ops +
+    # replica-PASS)
+    "x_window_supervision",
     # new/changed this round
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
     "session_events_native", "vocab_oov",
-    "bloom_dedup_exact", "domain_quality_gate",
+    "bloom_dedup_exact",
     "tfidf_cosine_pairs",
     # bpe_merge_round rotated to the tail for x_stream_dedup: its
     # plan shape is audit-asserted, its sibling bpe_encode (same word
@@ -1314,6 +1340,43 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(case when cum <= {structure.CONTEXT_BUDGET}
                               then 1 end) as bigint) as turns_within
             from c group by conv_id
+        """,
+        # same greedy recursion as x_conv_windows with role carried
+        # through, aggregated to per-window loss-token accounting
+        "x_window_supervision": f"""
+            with recursive t as (
+              select conv_id, turn_idx, role,
+                     cast(len(regexp_extract_all(text, '[a-z0-9]+'))
+                          as bigint) as toks,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx) as rn
+              from read_parquet('{mat.glob("sf0.01", "turns")}')
+            ),
+            seg as (
+              select conv_id, rn, role, toks,
+                     cast(1 as bigint) as win_id, toks as win_sum
+              from t where rn = 1
+              union all
+              select t.conv_id, t.rn, t.role, t.toks,
+                     case when seg.win_sum + t.toks
+                               > {structure.CONTEXT_BUDGET}
+                          then seg.win_id + 1 else seg.win_id end,
+                     case when seg.win_sum + t.toks
+                               > {structure.CONTEXT_BUDGET}
+                          then t.toks else seg.win_sum + t.toks end
+              from seg join t
+                on t.conv_id = seg.conv_id and t.rn = seg.rn + 1
+            )
+            select conv_id, win_id as window_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(toks) as bigint) as window_toks,
+                   cast(sum(case when role = 'assistant' then toks
+                            else 0 end) as bigint) as loss_toks,
+                   cast(case when sum(toks) > 0 then
+                        sum(case when role = 'assistant' then toks
+                            else 0 end) * 1000000 // sum(toks)
+                        end as bigint) as loss_ppm
+            from seg group by conv_id, win_id
         """,
         # the upsert-maintained table must equal the batch (hour,
         # role) aggregate computed straight from the turns parquet

@@ -299,6 +299,9 @@ def main() -> None:
     t0 = time.monotonic()
     st_mod.turn_templates(tr).agg(F.count("*")).collect()
     timings["turn_templates"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    st_mod.window_supervision(tr).agg(F.count("*")).collect()
+    timings["window_supervision"] = round(time.monotonic() - t0, 3)
 
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]

@@ -158,3 +158,62 @@ def test_bpe_encode_overlap_edges(spark):
     # spot-pin the two interesting shapes explicitly
     assert got["ananan"] == "<a~n><a~n><a~n>"
     assert got["thth"] == "<t~h><t~h>"
+
+
+def test_window_assignments_match_conv_windows(spark):
+    """The per-turn assignment fold and the per-window fold are the
+    same greedy recursion: aggregating assignments by (conv, window)
+    must reproduce conv_windows' (n_turns, window_toks) exactly —
+    including window ids around oversize turns."""
+    turns = _turns(spark)
+    agg = defaultdict(lambda: [0, 0])
+    for r in structure.window_assignments(turns).collect():
+        a = agg[(r.conv_id, r.window_id)]
+        a[0] += 1
+        a[1] += r.toks
+    want = {
+        (r.conv_id, r.window_id): [r.n_turns, r.window_toks]
+        for r in structure.conv_windows(turns).collect()
+    }
+    assert dict(agg) == want
+
+
+def test_window_supervision_vs_python(spark):
+    """Pure-Python replay of the greedy fold + loss accounting."""
+    turns = _turns(spark)
+    rows = sorted(
+        turns.select("conv_id", "turn_idx", "role", "text").collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    want = {}
+    conv, win, cur = None, 1, 0
+    for r in rows:
+        toks = _toks(r.text)
+        if r.conv_id != conv:
+            conv, win, cur = r.conv_id, 1, 0
+        elif cur + toks > structure.CONTEXT_BUDGET:
+            win, cur = win + 1, 0
+        cur += toks
+        k = (conv, win)
+        n, tot, loss = want.get(k, (0, 0, 0))
+        want[k] = (
+            n + 1,
+            tot + toks,
+            loss + (toks if r.role == "assistant" else 0),
+        )
+    got = {
+        (r.conv_id, r.window_id): (
+            r.n_turns,
+            r.window_toks,
+            r.loss_toks,
+            r.loss_ppm,
+        )
+        for r in structure.window_supervision(turns).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tot, loss) in want.items():
+        ppm = loss * 1_000_000 // tot if tot > 0 else None
+        assert got[k] == (n, tot, loss, ppm), k
+    # the metric finds what it exists to find: not every window is
+    # fully supervised
+    assert any(v[3] is not None and v[3] < 1_000_000 for v in got.values())

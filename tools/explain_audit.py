@@ -955,6 +955,19 @@ def main() -> None:
             and "text" not in p.split("Exchange", 1)[1].splitlines()[0],
         )
     )
+    p = plan_of(_st.window_supervision(tr))
+    checks.append(
+        (
+            "window supervision: join-free fold composition — conv_id "
+            "repartition + MapInPandas + one compact agg exchange "
+            "keyed on the fold output, partial agg before it",
+            _nex(p) == 2
+            and "MapInPandas" in p
+            and "Join" not in p
+            and "partial" in p.lower()
+            and "window_id" in p,
+        )
+    )
     p = plan_of(queries.QUERIES["bpe_encode"](spark, sf_dir))
     checks.append(
         (

@@ -510,3 +510,87 @@ def turn_templates(turns: DataFrame, min_occ: int = 2) -> DataFrame:
         )
         .filter(F.col("n_turns") >= min_occ)
     )
+
+
+def window_assignments(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Per-TURN training-window assignment: the same greedy
+    capacitated fold conv_windows runs, but emitting one row per turn
+    (conv_id, turn_idx, window_id, toks, masked) instead of one row
+    per window — the join-free way to compose window segmentation
+    with per-turn annotations. A (windows BETWEEN-join turns)
+    formulation would pair every window with every turn of its
+    conversation before filtering, which goes quadratic on
+    mega-conversations; assigning the window id inside the linear
+    fold keeps the composition skew-safe at any conversation size.
+    Same secondary-sort shape as conv_windows: ONE conv_id exchange,
+    in-partition sort, one sequential pass with constant state."""
+    import pandas as pd
+
+    out_schema = (
+        "conv_id string, turn_idx long, window_id long, toks long,"
+        " masked boolean"
+    )
+    cols = ["conv_id", "turn_idx", "window_id", "toks", "masked"]
+
+    def assign(batches):
+        conv, win, cur = None, 1, 0
+        out = []
+        for pdf in batches:
+            for c, t_idx, toks, masked in zip(
+                pdf["conv_id"].to_numpy(),
+                pdf["turn_idx"].to_numpy(),
+                pdf["toks"].to_numpy(),
+                pdf["masked"].to_numpy(),
+            ):
+                t_idx, toks = int(t_idx), int(toks)
+                if c != conv:
+                    conv, win, cur = c, 1, 0
+                elif cur + toks > budget and cur > 0:
+                    win, cur = win + 1, 0
+                cur += toks
+                out.append((conv, t_idx, win, toks, bool(masked)))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            toks.alias("toks"),
+            (F.col("role") != F.lit("assistant")).alias("masked"),
+        )
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .mapInPandas(assign, schema=out_schema)
+    )
+
+
+def window_supervision(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Supervision density per training window: for every greedy
+    context window, how many of its tokens actually carry loss
+    (assistant turns) — the metric that finds worthless all-context
+    windows before they burn training compute. Linear fold (per-turn
+    window assignment) + one (conv_id, window_id) hash agg. Two
+    exchanges total: the fold's conv_id repartition (MapInPandas
+    output partitioning is opaque to Catalyst, so the agg cannot
+    formally reuse it) and the agg exchange — but the second moves
+    only the 5-field fixed-width assignment rows (never text) and is
+    map-side combined to |windows| rows first. loss_ppm in integer
+    parts-per-million so the cross-engine contract is exact
+    (zero-token windows report null ppm in both engines)."""
+    a = window_assignments(turns, budget)
+    loss = F.sum(F.when(~F.col("masked"), F.col("toks")).otherwise(F.lit(0)))
+    return a.groupBy("conv_id", "window_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("toks").cast("long").alias("window_toks"),
+        loss.cast("long").alias("loss_toks"),
+        F.expr(
+            "case when sum(toks) > 0 then"
+            " sum(case when not masked then toks else 0 end) * 1000000"
+            " div sum(toks) end"
+        )
+        .cast("long")
+        .alias("loss_ppm"),
+    )
