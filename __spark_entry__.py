@@ -1014,7 +1014,11 @@ _SAMPLE_FIRST = [
     # exact pure-Python recomputation/parity test
     # (tests/test_pipeline_ops.py, tests/test_session4_ops.py), the
     # lowest cross-engine-risk rows in the r4 batch.
-    "ann_recall_at5",
+    # ann_recall_at5 rotated to the tail for bpe_doc_tokens (exact
+    # component-level intersection recomputation in test_session4_ops
+    # + replica-PASS); bpe_doc_tokens completes the tokenizer story
+    # with the broadcast-joinback expansion, new this session
+    "bpe_doc_tokens",
     # session-5 flagships: the exact-similarity-join and
     # physical-layout rows carry the newest scale arguments, so they
     # take driver slots; trend_slope and hist_totalprice rotate to the

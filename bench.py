@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "prefix_jaccard_pairs",
     "bpe_merge_round",
     "bpe_encode",
+    "bpe_doc_tokens",
     "zonemap_audit",
     "ffill_last_price",
     "decile_stats",

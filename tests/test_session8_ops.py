@@ -217,3 +217,22 @@ def test_window_supervision_vs_python(spark):
     # the metric finds what it exists to find: not every window is
     # fully supervised
     assert any(v[3] is not None and v[3] < 1_000_000 for v in got.values())
+
+
+def test_bpe_doc_tokens_vs_python(spark):
+    """Occurrence-level recount: per doc, sum of referee token counts
+    over every word occurrence must equal the broadcast-joinback
+    result."""
+    docs = q.t(spark, SF, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        ws = re.findall(r"[a-z0-9]+", r.text)
+        want[r.doc_id] = (
+            len(ws),
+            sum(_bpe_ref(w).count("<") for w in ws),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in q.QUERIES["bpe_doc_tokens"](spark, SF).collect()
+    }
+    assert got == want

@@ -979,6 +979,14 @@ def main() -> None:
             and "partial_count" in p,
         )
     )
+    p = plan_of(queries.QUERIES["bpe_doc_tokens"](spark, sf_dir))
+    checks.append(
+        (
+            "bpe doc tokens: vocab (word, n_tokens) map joins back "
+            "BROADCAST — the corpus side never shuffles on the word key",
+            "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        )
+    )
 
     # ---- parity sweep: digest-row join, oracle on executors ---------
     from xtract import parity as _parity

@@ -6858,3 +6858,51 @@ def bpe_encode(spark, sf_dir):
         .alias("n_tokens"),
         enc.alias("encoded"),
     )
+
+
+@q(
+    "bpe_doc_tokens",
+    f"""
+    with words as (
+      select doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) as w
+      from documents
+    ),
+    enc as (
+      select doc_id,
+             {_bpe_oracle_expr()} as encoded
+      from words
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_words,
+           cast(sum(len(encoded) - len(replace(encoded, '<', '')))
+                as bigint) as n_bpe_tokens
+    from enc group by doc_id
+    """,
+)
+def bpe_doc_tokens(spark, sf_dir):
+    """Per-DOCUMENT token counts under the BPE merge table — the
+    budget number a packer/pricer needs per record. Demonstrates the
+    scale shape bpe_encode's docstring promises: each distinct word
+    is encoded ONCE (vocabulary-scale), and the per-document
+    expansion is a BROADCAST joinback of the tiny (word, n_tokens)
+    map onto the exploded corpus — the corpus side never shuffles on
+    the word key (audit-asserted BroadcastHashJoin), and the doc agg
+    is map-side combinable. The oracle re-encodes every occurrence
+    inline (affordable at oracle scale), so a green row also
+    re-proves vocab-level and occurrence-level encoding agree."""
+    d = t(spark, sf_dir, "documents")
+    vocab = QUERIES["bpe_encode"](spark, sf_dir).select("w", "n_tokens")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
