@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
         "(per-conversation capacitated segmentation)",
     )
     ap.add_argument(
+        "--loss-mask",
+        default=None,
+        help="optional sink for the SFT loss-mask span table "
+        "(per-turn [start_tok, end_tok) offsets + masked flag)",
+    )
+    ap.add_argument(
         "--parity-sample",
         type=int,
         default=None,
@@ -230,6 +236,10 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import structure
 
         catalog.write_ref(structure.conv_windows(df), args.windows)
+    if args.loss_mask:
+        from xtract import structure
+
+        catalog.write_ref(structure.loss_mask(df), args.loss_mask)
     if args.assembled:
         from xtract import assemble
 
