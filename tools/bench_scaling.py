@@ -41,12 +41,12 @@ def one_pass():
 # warmup pass: python workers fork + import + JIT settle (cold start is
 # per-job-launch cost, amortized over hours on a real cluster)
 res = one_pass()
-secs = []
-for _ in range(2):
-    t0 = time.monotonic()
-    res = one_pass()
-    secs.append(time.monotonic() - t0)
-sec = min(secs)
+# one timed pass per leg: the ABAB harness runs each width twice in
+# separate windows and takes the best leg, which supersedes the old
+# min-of-2-passes-within-one-window repetition
+t0 = time.monotonic()
+res = one_pass()
+sec = time.monotonic() - t0
 print(json.dumps({"cores": cores, "turns": n, "spans": int(res["spans"]),
                   "sec": round(sec, 2), "turns_per_sec": round(n / sec, 1)}))
 spark.stop()
@@ -127,13 +127,24 @@ def main() -> None:
 
     # interleave: pure-CPU probe right before each Spark run, so both
     # see the same host-delivery window (this VM's delivered compute
-    # fluctuates ~2x over tens of minutes — see BENCH/BASELINE.md)
-    clo = run_pinned(CONTROL_RUNNER, [str(8), "6000000"], 8)
-    mlo = run_pinned(MEM_RUNNER, [str(8)], 8)
-    lo = run_pinned(SPARK_RUNNER, [str(8), path], 8)
-    chi = run_pinned(CONTROL_RUNNER, [str(32), "6000000"], 32)
-    mhi = run_pinned(MEM_RUNNER, [str(32)], 32)
-    hi = run_pinned(SPARK_RUNNER, [str(32), path], 32)
+    # fluctuates ~2x over tens of minutes — see BENCH/BASELINE.md).
+    # ABAB legs: host delivery swings on a MINUTES timescale (one
+    # 2026-08-18 run measured a fast local[8] leg and then delivery
+    # collapsing before the local[32] leg — raw eff 0.289 from two
+    # different effective hosts). Running 8→32→8→32 and taking the
+    # best leg per width (with that leg's OWN probe window) means a
+    # single bad minute can no longer fake a scaling failure; both
+    # chosen legs still carry their interleaved delivered-resource
+    # probes.
+    legs: dict[int, list[tuple[dict, dict, dict]]] = {8: [], 32: []}
+    for _ in range(2):
+        for w in (8, 32):
+            c = run_pinned(CONTROL_RUNNER, [str(w), "6000000"], w)
+            m = run_pinned(MEM_RUNNER, [str(w)], w)
+            s = run_pinned(SPARK_RUNNER, [str(w), path], w)
+            legs[w].append((c, m, s))
+    (clo, mlo, lo) = max(legs[8], key=lambda t: t[2]["turns_per_sec"])
+    (chi, mhi, hi) = max(legs[32], key=lambda t: t[2]["turns_per_sec"])
 
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
     ctl_eff = (chi["turns_per_sec"] / clo["turns_per_sec"]) / 4
@@ -165,8 +176,14 @@ def main() -> None:
 
     if update_md:
         stamp = dt.date.today().isoformat()
+        all_legs = " / ".join(
+            f"{w}c: {', '.join(str(t[2]['turns_per_sec']) for t in legs[w])}"
+            for w in (8, 32)
+        )
         block = f"""
-## Scaling run {stamp} — fused extraction, {lo['turns']} turns, identical cached input, taskset-pinned budgets, interleaved delivered-CPU probe
+## Scaling run {stamp} — fused extraction, {lo['turns']} turns, identical cached input, taskset-pinned budgets, ABAB legs (best per width), interleaved delivered-CPU probe
+
+All legs (turns/s): {all_legs}
 
 | config | wall (s) | rate |
 |---|---|---|
