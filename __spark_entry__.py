@@ -696,14 +696,16 @@ def _extraction_queries() -> dict[str, Callable]:
     def x_stream_dedup(spark, sf_dir):
         """Streaming EXACT dedup of retried crawl deliveries:
         the materialized turns are re-delivered with every 5th turn
-        duplicated (same (conv_id, turn_idx, text, ts) — the retry
-        shape), streamed through dropDuplicatesWithinWatermark on the
-        turn natural key, and drained availableNow into parquet; the
-        report re-aggregates the WRITTEN rows per conversation. The
-        oracle derives the same accounting from the same re-delivery
-        parquet with a plain DISTINCT, so a green row certifies that
-        the watermark-scoped streaming dedup equals batch dedup on
-        this corpus. The driver row pins the semantics; the
+        duplicated as a BYTE-IDENTICAL copy (the retry shape; an
+        amended-text recrawl is a different operator — the stream
+        key is (conv_id, turn_idx), so it would keep an arbitrary
+        first arrival there), streamed through
+        dropDuplicatesWithinWatermark on that key, and drained
+        availableNow into parquet; the report re-aggregates the
+        WRITTEN rows per conversation. The oracle dedups the same
+        re-delivery parquet on the SAME key, so a green row
+        certifies that the watermark-scoped streaming dedup equals
+        batch dedup on this corpus. The driver row pins the semantics; the
         state-EVICTION behavior (a duplicate arriving after the
         watermark passed its event time is NOT dropped — the bounded
         -state trade) is pinned by tests/test_streaming.py with two
@@ -1392,12 +1394,17 @@ def _extraction_oracles() -> dict[str, str]:
             from read_parquet('{mat.glob("sf0.01", "turns")}')
             group by 1, 2
         """,
-        # plain DISTINCT over the same re-delivery parquet the stream
-        # drains: streaming watermark dedup must equal batch dedup
+        # batch dedup over the same re-delivery parquet the stream
+        # drains, keyed on (conv_id, turn_idx) EXACTLY like the
+        # stream's dropDuplicatesWithinWatermark key; min(text) is
+        # deterministic because re-deliveries are byte-identical
+        # (amended-text recrawls are a different operator — the
+        # stream would keep an arbitrary first arrival there)
         "x_stream_dedup": f"""
             with d as (
-              select distinct conv_id, turn_idx, text
+              select conv_id, turn_idx, min(text) as text
               from read_parquet('{mat.glob("sf0.01", "turns_redeliver")}')
+              group by conv_id, turn_idx
             )
             select conv_id,
                    cast(count(*) as bigint) as n_turns,
@@ -1431,7 +1438,7 @@ def _extraction_oracles() -> dict[str, str]:
               select conv_id, role,
                      md5(substr(trim(regexp_replace(regexp_replace(
                            lower(text), '[0-9]+', '#', 'g'),
-                           '\\s+', ' ', 'g')), 1, 80)) as tkey
+                           '[ \t\n\f\r]+', ' ', 'g')), 1, 80)) as tkey
               from read_parquet('{mat.glob("sf0.01", "turns")}')
             )
             select role, tkey,

@@ -167,27 +167,27 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import ingest
 
         df = ingest.read_envelopes(spark, args.input[8:])
-    elif args.input.startswith("jsonl:"):
+    jsonl_obs = None
+    if args.input.startswith("jsonl:"):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Observation
+
         from xtract import ingest
 
         parsed = ingest.read_jsonl_transcripts(spark, args.input[6:])
-        bad = ingest.corrupt_rows(parsed)
         if args.quarantine:
-            catalog.write_ref(bad, args.quarantine, bucket_col=None)
-            n_quarantined = catalog.count_ref(spark, args.quarantine)
-        else:
-            n_quarantined = bad.count()
+            catalog.write_ref(
+                ingest.corrupt_rows(parsed), args.quarantine, bucket_col=None
+            )
+        # bad-line accounting rides the extraction scan as an
+        # Observation — no extra pass over the delivery just to count
+        jsonl_obs = Observation("jsonl_ingest")
+        parsed = parsed.observe(
+            jsonl_obs, F.sum(ingest.is_bad().cast("long")).alias("n_bad")
+        )
         df = ingest.good_rows(parsed)
     else:
         df = catalog.read_ref(spark, args.input)
-    if not args.input.startswith("jsonl:"):
-        n_quarantined = None
-    elif args.quarantine is None and n_quarantined:
-        print(
-            f"warning: {n_quarantined} malformed jsonl lines dropped "
-            "(no --quarantine sink given)",
-            file=sys.stderr,
-        )
 
     if args.checkpoint and catalog.is_table_ref(args.output):
         ap.error(
@@ -219,6 +219,18 @@ def main(argv: list[str] | None = None) -> int:
 
     n_turns = df.count()
     n_spans = catalog.count_ref(spark, args.output)
+    # populated by the n_turns count action above (the extraction
+    # write may bypass the observed node under checkpointed runs, but
+    # df.count() always executes it)
+    n_quarantined = (
+        int(jsonl_obs.get["n_bad"] or 0) if jsonl_obs is not None else None
+    )
+    if n_quarantined and not args.quarantine:
+        print(
+            f"warning: {n_quarantined} malformed jsonl lines dropped "
+            "(no --quarantine sink given)",
+            file=sys.stderr,
+        )
 
     if args.exam_info:
         catalog.write_ref(pipeline.exam_info(df), args.exam_info)

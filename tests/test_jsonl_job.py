@@ -27,7 +27,14 @@ def test_jsonl_input_arm(tmp_path):
     torn = [
         ln[:-5] if i % 7 == 3 else ln for i, ln in enumerate(lines)
     ]
-    n_torn = sum(1 for i in range(len(lines)) if i % 7 == 3)
+    n_torn_json = sum(1 for i in range(len(lines)) if i % 7 == 3)
+    # blank and whitespace-only separator lines must be quarantined
+    # too (from_json returns a NULL struct for them, not a populated
+    # _corrupt — review finding); inserted, so they don't reduce the
+    # good-turn count
+    torn.insert(2, "")
+    torn.append("   ")
+    n_torn = n_torn_json + 2
     src = tmp_path / "delivery.jsonl"
     src.write_text("\n".join(torn) + "\n")
 
@@ -50,13 +57,15 @@ def test_jsonl_input_arm(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = json.loads(proc.stdout.strip().splitlines()[-1])
     assert line["quarantined"] == n_torn
-    assert line["turns"] == len(lines) - n_torn
+    assert line["turns"] == len(lines) - n_torn_json
     assert line["spans"] > 0
 
     # quarantine sink holds exactly the torn raw lines
     qrows = duckdb.sql(f"select raw from '{quar}/*.parquet'").fetchall()
     assert len(qrows) == n_torn
-    assert all(r[0] and not r[0].endswith("}") for r in qrows)
+    # torn lines lost their closing brace; blank/ws lines strip empty
+    assert all(not r[0].strip().endswith("}") for r in qrows)
+    assert sum(1 for r in qrows if not r[0].strip()) == 2
 
     # extraction over the good rows produced a well-formed span table
     n_spans = duckdb.sql(

@@ -85,8 +85,10 @@ def test_loss_mask_spans_tile(spark):
 
 
 def _norm(text):
+    # explicit class: Python \s is Unicode-aware (NBSP, U+000B, ...)
+    # while the engine contract pins exactly [ \t\n\f\r]
     s = re.sub(r"[0-9]+", "#", text.lower())
-    s = re.sub(r"\s+", " ", s).strip()
+    s = re.sub(r"[ \t\n\f\r]+", " ", s).strip(" ")
     return s[:80]
 
 
@@ -137,7 +139,7 @@ def test_bpe_encode_vs_python(spark):
         assert out[w] == (wc, enc.count("<"), enc), w
 
 
-def test_bpe_encode_overlap_edges(spark):
+def test_bpe_encode_overlap_edges(spark, tmp_path):
     """The delimiter-complete bracketed form makes the left-to-right
     non-overlapping replace unambiguous: runs like 'ananan' (merge
     'an') must merge greedily left-to-right without a merged token
@@ -147,8 +149,8 @@ def test_bpe_encode_overlap_edges(spark):
 
     words = ["ananan", "aanan", "thth", "tthhe", "thee", "errere"]
     df = spark.createDataFrame(pd.DataFrame({"text": [" ".join(words)]}))
-    import tempfile, os
-    d = tempfile.mkdtemp()
+    import os
+    d = str(tmp_path)
     # reuse the query against a one-doc corpus written as documents
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     got = {r.w: r.encoded for r in
@@ -236,3 +238,36 @@ def test_bpe_doc_tokens_vs_python(spark):
         for r in q.QUERIES["bpe_doc_tokens"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_window_folds_agree_on_zero_token_turns(spark):
+    """Regression (review finding): a zero-token turn (all-CJK /
+    punctuation text, no [a-z0-9]+ match) right after an oversized
+    turn must open a new window in BOTH folds — an 'and cur > 0'
+    guard in the assignment fold silently packed the next oversized
+    turn into an unflagged over-budget window."""
+    import pandas as pd
+
+    big = "word " * (structure.CONTEXT_BUDGET + 1)
+    rows = [
+        ("c", 0, "user", big),
+        ("c", 1, "assistant", "！！！？？？"),  # zero [a-z0-9]+ tokens
+        ("c", 2, "user", big),
+    ]
+    turns = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    )
+    assigns = {
+        r.turn_idx: r.window_id
+        for r in structure.window_assignments(turns).collect()
+    }
+    windows = {
+        r.window_id: (r.n_turns, r.window_toks, r.oversize)
+        for r in structure.conv_windows(turns).collect()
+    }
+    assert assigns == {0: 1, 1: 2, 2: 3}
+    assert windows == {
+        1: (1, structure.CONTEXT_BUDGET + 1, True),
+        2: (1, 0, False),
+        3: (1, structure.CONTEXT_BUDGET + 1, True),
+    }

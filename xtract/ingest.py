@@ -99,8 +99,10 @@ def read_jsonl_transcripts(spark: SparkSession, path: str) -> DataFrame:
     corpus scale; this form keeps both the good-row split and the
     quarantine split as independent parallel scans. Note PERMISSIVE
     from_json returns an all-null-fields struct (not a null struct)
-    for malformed input, so corruption MUST be keyed on the declared
-    _corrupt field, never on struct nullness. Returns
+    for malformed JSON — but a NULL struct outright for blank /
+    whitespace-only lines — so the split keys on BOTH: a row is bad
+    when the struct is NULL or the declared _corrupt field is
+    populated (``is_bad``); never on field nullness. Returns
     (raw string, r struct) rows; split with good_rows /
     corrupt_rows."""
     return spark.read.text(path).select(
@@ -113,13 +115,15 @@ def read_jsonl_transcripts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def is_bad() -> F.Column:
+    """NULL struct (blank/whitespace-only line) or populated
+    _corrupt (torn/malformed JSON)."""
+    return F.col("r").isNull() | F.col("r._corrupt").isNotNull()
+
+
 def good_rows(parsed: DataFrame) -> DataFrame:
-    return (
-        parsed.filter(F.col("r._corrupt").isNull())
-        .select("r.*")
-        .drop("_corrupt")
-    )
+    return parsed.filter(~is_bad()).select("r.*").drop("_corrupt")
 
 
 def corrupt_rows(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(F.col("r._corrupt").isNotNull()).select("raw")
+    return parsed.filter(is_bad()).select("raw")

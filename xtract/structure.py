@@ -490,11 +490,14 @@ def turn_templates(turns: DataFrame, min_occ: int = 2) -> DataFrame:
     32-byte md5 so no template text transits the shuffle, and it is
     map-side combinable — at 10^12 turns the reduce side sees at most
     |distinct templates| rows per partition."""
+    # explicit whitespace class: Java \s includes U+000B, RE2 \s does
+    # not — an explicit class keeps both engines' normalization
+    # byte-identical (DuckDB oracle uses the same class)
     norm = F.substring(
         F.trim(
             F.regexp_replace(
                 F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
-                r"\s+",
+                "[ \t\n\f\r]+",
                 " ",
             )
         ),
@@ -545,7 +548,12 @@ def window_assignments(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFr
                 t_idx, toks = int(t_idx), int(toks)
                 if c != conv:
                     conv, win, cur = c, 1, 0
-                elif cur + toks > budget and cur > 0:
+                elif cur + toks > budget:
+                    # no cur>0 guard: conv_windows (and the recursive
+                    # -CTE oracle) open a new window whenever adding
+                    # the turn would overflow, even off a zero-token
+                    # turn after an oversized one — the folds must
+                    # agree input-for-input
                     win, cur = win + 1, 0
                 cur += toks
                 out.append((conv, t_idx, win, toks, bool(masked)))
