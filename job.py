@@ -153,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = session.build(app="xtract-job", shuffle_partitions=args.partitions)
     t0 = time.monotonic()
 
+    jsonl_obs = None
     if args.input.startswith("gen:"):
         df = gen.transcripts(spark, int(args.input[4:]), partitions=args.partitions)
     elif args.input.startswith("pdf:"):
@@ -167,8 +168,7 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import ingest
 
         df = ingest.read_envelopes(spark, args.input[8:])
-    jsonl_obs = None
-    if args.input.startswith("jsonl:"):
+    elif args.input.startswith("jsonl:"):
         import pyspark.sql.functions as F
         from pyspark.sql import Observation
 
