@@ -120,6 +120,13 @@ def main(argv: list[str] | None = None) -> int:
         "(per-turn [start_tok, end_tok) offsets + masked flag)",
     )
     ap.add_argument(
+        "--export-jsonl",
+        default=None,
+        help="also export the written spans as JSON-lines text "
+        "(one object per span; the delivery format downstream "
+        "training jobs ingest)",
+    )
+    ap.add_argument(
         "--parity-sample",
         type=int,
         default=None,
@@ -252,6 +259,17 @@ def main(argv: list[str] | None = None) -> int:
         from xtract import structure
 
         catalog.write_ref(structure.loss_mask(df), args.loss_mask)
+    if args.export_jsonl:
+        import pyspark.sql.functions as F
+
+        # one JSON object per span; text sink keeps the export a pure
+        # map over the written parquet (no shuffle)
+        (
+            catalog.read_ref(spark, args.output)
+            .select(F.to_json(F.struct("*")).alias("value"))
+            .write.mode("overwrite")
+            .text(args.export_jsonl)
+        )
     if args.assembled:
         from xtract import assemble
 

@@ -40,6 +40,7 @@ def test_jsonl_input_arm(tmp_path):
 
     out = str(tmp_path / "spans")
     quar = str(tmp_path / "quarantine")
+    export = str(tmp_path / "export")
     proc = subprocess.run(
         [
             sys.executable,
@@ -47,6 +48,7 @@ def test_jsonl_input_arm(tmp_path):
             "--input", f"jsonl:{src}",
             "--output", out,
             "--quarantine", quar,
+            "--export-jsonl", export,
             "--partitions", "8",
         ],
         capture_output=True,
@@ -73,3 +75,13 @@ def test_jsonl_input_arm(tmp_path):
     ).fetchone()
     assert n_spans[0] == line["spans"]
     assert n_spans[1] >= 1
+
+    # the JSONL export round-trips: same span count, fields parse back
+    exp = duckdb.sql(
+        "select count(*), count(distinct conv_id), sum(seq) "
+        f"from read_json('{export}/part-*', format='newline_delimited')"
+    ).fetchone()
+    par = duckdb.sql(
+        f"select count(*), count(distinct conv_id), sum(seq) from '{out}/*.parquet'"
+    ).fetchone()
+    assert exp == par
