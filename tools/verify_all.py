@@ -63,12 +63,19 @@ def main() -> int:
     subprocess.run(["rm", "-rf", out], check=False)
     zip_cmd = ["zip", "-qr", "/tmp/verify_all_xtract.zip", "xtract"]
     subprocess.run(zip_cmd, cwd=REPO, check=True)
+    win = "/tmp/verify_all_windows"
+    lm = "/tmp/verify_all_lossmask"
+    exp = "/tmp/verify_all_export"
+    subprocess.run(["rm", "-rf", win, lm, exp], check=False)
     ok, sec, tail = run(
         "spark_submit",
         [
             "spark-submit", "--master", "local[8]",
             "--py-files", "/tmp/verify_all_xtract.zip",
             "job.py", "--input", "gen:40", "--output", out,
+            # exercise the training-sink surface too — a dispatch or
+            # sink regression must fail THIS gate, not just unit tests
+            "--windows", win, "--loss-mask", lm, "--export-jsonl", exp,
         ],
         600,
     )
@@ -78,8 +85,32 @@ def main() -> int:
         n, convs = duckdb.sql(
             f"select count(*), count(distinct conv_id) from '{out}/*.parquet'"
         ).fetchone()
-        ok = n > 0 and convs == 40
-        tail = f"spans={n} convs={convs}"
+        n_win_turns = duckdb.sql(
+            f"select sum(n_turns) from '{win}/*.parquet'"
+        ).fetchone()[0]
+        n_lm, bad_tile = duckdb.sql(
+            f"""select count(*),
+                       (select count(*) from (
+                          select conv_id from '{lm}/*.parquet'
+                          group by conv_id
+                          having max(end_tok) <> sum(end_tok - start_tok)))
+                from '{lm}/*.parquet'"""
+        ).fetchone()
+        n_exp = duckdb.sql(
+            f"select count(*) from read_json('{exp}/part-*',"
+            " format='newline_delimited')"
+        ).fetchone()[0]
+        ok = (
+            n > 0
+            and convs == 40
+            and n_win_turns == n_lm  # windows tile exactly the turns
+            and bad_tile == 0  # loss-mask spans tile per conversation
+            and n_exp == n  # jsonl export round-trips the span count
+        )
+        tail = (
+            f"spans={n} convs={convs} win_turns={n_win_turns} "
+            f"lm_rows={n_lm} export={n_exp}"
+        )
     results["spark_submit"] = {"ok": ok, "sec": round(sec, 1), "tail": tail}
     print(f"{'PASS' if ok else 'FAIL'} spark_submit ({sec:.0f}s) {tail}")
 
