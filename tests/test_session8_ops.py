@@ -271,3 +271,62 @@ def test_window_folds_agree_on_zero_token_turns(spark):
         2: (1, 0, False),
         3: (1, structure.CONTEXT_BUDGET + 1, True),
     }
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    hst.lists(
+        hst.lists(
+            # per-turn token counts: zeros (no [a-z0-9]+ match),
+            # normal turns, near-budget and over-budget turns — the
+            # full greedy-fold edge surface incl. today's zero-token
+            # regression shape
+            hst.sampled_from(
+                [0, 1, 7, structure.CONTEXT_BUDGET,
+                 structure.CONTEXT_BUDGET + 1, 2 * structure.CONTEXT_BUDGET]
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_window_folds_agree_generatively(spark, convs):
+    """Generative net over the greedy-fold family: for RANDOM token
+    sequences (zeros, oversize, budget-exact), the per-window fold
+    (conv_windows), the per-turn fold (window_assignments) and a
+    pure-Python replay of the recursion must agree window-for-window."""
+    import pandas as pd
+
+    rows = []
+    for ci, toks_list in enumerate(convs):
+        for ti, toks in enumerate(toks_list):
+            rows.append((f"h{ci}", ti, "user", "tok " * toks))
+    turns = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    )
+    # python replay (the recursion both engines implement)
+    want = {}
+    for ci, toks_list in enumerate(convs):
+        win, cur = 1, 0
+        for ti, toks in enumerate(toks_list):
+            if cur + toks > structure.CONTEXT_BUDGET and ti > 0:
+                win, cur = win + 1, 0
+            cur += toks
+            n, tot = want.get((f"h{ci}", win), (0, 0))
+            want[(f"h{ci}", win)] = (n + 1, tot + toks)
+    got_w = {
+        (r.conv_id, r.window_id): (r.n_turns, r.window_toks)
+        for r in structure.conv_windows(turns).collect()
+    }
+    agg = {}
+    for r in structure.window_assignments(turns).collect():
+        n, tot = agg.get((r.conv_id, r.window_id), (0, 0))
+        agg[(r.conv_id, r.window_id)] = (n + 1, tot + r.toks)
+    assert got_w == want
+    assert agg == want
