@@ -977,7 +977,7 @@ _SAMPLE_FIRST = [
     "longdoc_dedup", "table_profile",
     "span_dedup_corpus", "pack_sequences", "decontaminate_eval",
     "balance_langs", "dedup_keep_list", "train_order_shards",
-    "session_events_native", "vocab_oov",
+    "session_events_native",
     "bloom_dedup_exact",
     "tfidf_cosine_pairs",
     # bpe_merge_round rotated to the tail for x_stream_dedup: its
@@ -1009,6 +1009,10 @@ _SAMPLE_FIRST = [
     # hash-priority race, mat.materialize_multi merge checks in
     # test_session6_ops) and replica-PASS.
     "skew_salted_join",
+    # supplier-table star slice (new; the last driver table with no
+    # query row — vocab_oov rotates to the tail: replica-PASS,
+    # dictionary-scale broadcast semantics shared with j5/word_rank)
+    "supplier_nation_revenue",
     # rotated to the tail for the session-6 rows: winsorized_stats,
     # outlier_3sigma, decayed_engagement, k_anonymity_audit, word_pmi
     # (batch 1) and edit_dist_verify, triangle_support, drift_l1,

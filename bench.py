@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "j1_time_band_join",
     "asof_view_before_purchase",
     "j5_broadcast_lookup",
+    "supplier_nation_revenue",
     "g6_iou",
     "r6_qtype_classify",
     "tok_count",

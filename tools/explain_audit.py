@@ -987,6 +987,17 @@ def main() -> None:
             "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
         )
     )
+    p = plan_of(queries.QUERIES["supplier_nation_revenue"](spark, sf_dir))
+    checks.append(
+        (
+            "supplier star slice: both dims broadcast, fact never "
+            "shuffles for the joins, partial agg before the final "
+            "nation-key exchange",
+            p.count("BroadcastHashJoin") >= 2
+            and "SortMergeJoin" not in p
+            and "partial" in p.lower(),
+        )
+    )
 
     # ---- parity sweep: digest-row join, oracle on executors ---------
     from xtract import parity as _parity

@@ -6906,3 +6906,46 @@ def bpe_doc_tokens(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# =====================================================================
+# TPC-H Q5/Q9-family slice: per-nation supplier revenue (the star
+# pattern with the last unexercised driver table)
+# =====================================================================
+@q(
+    "supplier_nation_revenue",
+    """
+    select n.n_name,
+           cast(count(distinct s.s_suppkey) as bigint) as n_suppliers,
+           cast(sum(cast(floor(l.l_extendedprice
+                               * (1 - l.l_discount) * 100) as bigint))
+                as bigint) as revenue_c,
+           cast(count(*) as bigint) as n_lines
+    from lineitem l
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    group by n.n_name
+    """,
+)
+def supplier_nation_revenue(spark, sf_dir):
+    """Per-nation supplier revenue (TPC-H Q5/Q9 family): the fact
+    table joins two dimensions that are metadata-sized at ANY corpus
+    scale (|suppliers| and |nations| grow with the business, not the
+    data), so both are BROADCAST — lineitem never shuffles for the
+    joins, and the only exchange is the final |nations|-key agg with
+    map-side partials. Revenue in integer cents (floor(x*100))
+    per the repo-wide money discipline."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+            F.sum(rev).cast("long").alias("revenue_c"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
