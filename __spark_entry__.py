@@ -112,21 +112,43 @@ def _extraction_queries() -> dict[str, Callable]:
     (x_extract_relational)."""
     from xtract import pipeline, structure
 
+    _spans_cols = [
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "question_number",
+        "qtype",
+        "score",
+        "span_text",
+        "has_image",
+        "image_count",
+        "split_from_merged",
+    ]
+
     def x_extract_spans(spark, sf_dir):
+        """Flagship fused-extraction row — the mirror of
+        x_extract_relational: the query runs the FUSED single-kernel
+        plan while the oracle reads the materialized RELATIONAL plan's
+        spans (from_json scan → posexplode → detect UDF → window
+        boundaries → greedy merge → native structuring). Together the
+        two rows certify plan equivalence in BOTH directions on the
+        driver's hash gate. Reference analogue: the v2 analyzer chain,
+        tests/test_exam_paper_analysis_vl_ocr_v2.py:1281-1407."""
+        from xtract import mat
+
+        mat.materialize(
+            spark,
+            sf_dir,
+            "spans_rel",
+            lambda: pipeline.extract(
+                _derived_transcripts(spark, sf_dir),
+                mode="relational",
+                merge="greedy",
+            ).select(*_spans_cols),
+        )
         return pipeline.extract(
             _derived_transcripts(spark, sf_dir), mode="fused"
-        ).select(
-            "conv_id",
-            "turn_idx",
-            "seq",
-            "question_number",
-            "qtype",
-            "score",
-            "span_text",
-            "has_image",
-            "image_count",
-            "split_from_merged",
-        )
+        ).select(*_spans_cols)
 
     def x_extract_relational(spark, sf_dir):
         """Relational-greedy plan; the oracle reads the materialized
@@ -1134,7 +1156,17 @@ def _extraction_oracles() -> dict[str, str]:
                    cast(count(*) as int) as n_parts
             from g group by conv_id, seg1"""
 
+    spans_rel = mat.glob("sf0.01", "spans_rel")
     oracles = {
+        # mirror of x_extract_relational: query runs FUSED, oracle
+        # reads the materialized RELATIONAL spans — plan equivalence
+        # certified in both directions (closes the r4 no_oracle hole)
+        "x_extract_spans": f"""
+            select conv_id, turn_idx, seq, question_number, qtype,
+                   score, span_text, has_image, image_count,
+                   split_from_merged
+            from read_parquet('{spans_rel}')
+        """,
         "x_extract_relational": f"""
             select conv_id, turn_idx, seq, question_number, qtype, span_text
             from read_parquet('{spans}')
@@ -1434,7 +1466,7 @@ def _extraction_oracles() -> dict[str, str]:
                           rows between unbounded preceding
                           and 1 preceding), 0) + toks
                         as bigint) as end_tok,
-                   role <> 'assistant' as masked
+                   coalesce(role, '') <> 'assistant' as masked
             from f
         """,
         "x_turn_templates": f"""

@@ -156,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
                 "layout the checkpoint resume logic keys on; compact "
                 "after the run is fully complete instead"
             )
+    # depends only on args, so it runs BEFORE the input dispatch: a
+    # usage error must never leave a partial side effect (the jsonl
+    # arm's --quarantine sink writes during dispatch)
+    if args.checkpoint and catalog.is_table_ref(args.output):
+        ap.error(
+            "--checkpoint uses parquet dynamic-partition-overwrite; "
+            "give --output a parquet path (the lineage sidecar itself "
+            "is the table analogue)"
+        )
 
     spark = session.build(app="xtract-job", shuffle_partitions=args.partitions)
     t0 = time.monotonic()
@@ -196,12 +205,6 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = catalog.read_ref(spark, args.input)
 
-    if args.checkpoint and catalog.is_table_ref(args.output):
-        ap.error(
-            "--checkpoint uses parquet dynamic-partition-overwrite; "
-            "give --output a parquet path (the lineage sidecar itself "
-            "is the table analogue)"
-        )
     if args.checkpoint:
         from xtract import ckpt
 

@@ -330,3 +330,36 @@ def test_window_folds_agree_generatively(spark, convs):
         agg[(r.conv_id, r.window_id)] = (n + 1, tot + r.toks)
     assert got_w == want
     assert agg == want
+
+
+def test_null_role_masks_deterministically(spark):
+    """Regression (r4 ADVICE, structure.py null-role hole): a NULL
+    role — legal on real deliveries like the jsonl: arm, where role is
+    nullable — must be MASKED (zero loss), not a null boolean that the
+    pandas fold reads as False (loss-carrying). loss_mask,
+    window_assignments and window_supervision must all agree with the
+    oracle convention (loss only when role = 'assistant')."""
+    import datetime as dt
+
+    rows = [
+        ("c0", 0, "user", "alpha beta", None, dt.datetime(2026, 1, 1)),
+        ("c0", 1, None, "gamma delta epsilon", None, dt.datetime(2026, 1, 1)),
+        ("c0", 2, "assistant", "zeta eta", None, dt.datetime(2026, 1, 1)),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    lm = {r.turn_idx: r.masked for r in structure.loss_mask(turns).collect()}
+    assert lm == {0: True, 1: True, 2: False}
+    wa = {
+        r.turn_idx: r.masked
+        for r in structure.window_assignments(turns).collect()
+    }
+    assert wa == {0: True, 1: True, 2: False}
+    sup = structure.window_supervision(turns).collect()
+    assert len(sup) == 1
+    # only the 2 assistant tokens carry loss; the null-role turn's 3
+    # tokens are context
+    assert sup[0].loss_toks == 2
+    assert sup[0].window_toks == 7

@@ -822,13 +822,18 @@ def test_upsert_windowed_counts_incremental(spark, tmp_path):
             (r.wp, r.role, r.n)
             for r in spark.read.parquet(src)
             .groupBy(
-                F.date_format(
-                    F.date_trunc("hour", "ts"), "yyyyMMddHH"
-                ).alias("wp"),
+                F.unix_timestamp(
+                    F.date_trunc("hour", "ts")
+                ).cast("string").alias("wp"),
                 "role",
             )
             .agg(F.count("*").alias("n"))
             .collect()
+        )
+
+    def epoch_str(hour, minute=0):
+        return str(
+            int(dt.datetime(2026, 1, 1, hour, minute, 0).timestamp())
         )
 
     # drain 1: hour-10 user turns + hour-11 assistant turn
@@ -839,5 +844,66 @@ def test_upsert_windowed_counts_incremental(spark, tmp_path):
     # must survive the dynamic overwrite
     deliver([("user", 40), ("user", 80)])
     assert table() == expected()
-    assert ("2026010111", "assistant", 1) in table()
-    assert ("2026010110", "user", 3) in table()
+    assert (epoch_str(11), "assistant", 1) in table()
+    assert (epoch_str(10), "user", 3) in table()
+
+
+def test_upsert_fine_window_siblings_survive(spark, tmp_path):
+    """Regression (r4 ADVICE, streaming.py win_part granularity): with
+    a window FINER than 1 hour, an update batch touching one 15-minute
+    window must not delete sibling windows from the same hour — the
+    partition key is the epoch-seconds window start, exact at any
+    granularity (the old yyyyMMddHH prefix collapsed all four quarter
+    windows of an hour into one overwritten partition)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def deliver(minute_list):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "conv_id": "c",
+                    "turn_idx": i,
+                    "role": "user",
+                    "text": "t",
+                    "tool": None,
+                    "ts": t0 + dt.timedelta(minutes=m),
+                }
+                for i, m in enumerate(minute_list)
+            ]
+        )
+        spark.createDataFrame(pdf).selectExpr(
+            "conv_id", "cast(turn_idx as int) turn_idx", "role",
+            "text", "cast(tool as string) tool", "ts",
+        ).write.mode("append").parquet(src)
+        streaming.upsert_windowed_counts(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            out,
+            ck,
+            window="15 minutes",
+        )
+
+    # drain 1 populates all four quarter-windows of hour 10
+    deliver([0, 16, 31, 46])
+    # drain 2 updates ONLY the 10:00 quarter; 10:15/10:30/10:45 are
+    # absent from the update batch and must survive
+    deliver([5])
+    got = sorted(
+        (int(r.win_part), r.n_turns)
+        for r in spark.read.parquet(out).collect()
+    )
+    base = int(t0.timestamp())
+    assert got == [
+        (base, 2),
+        (base + 15 * 60, 1),
+        (base + 30 * 60, 1),
+        (base + 45 * 60, 1),
+    ]

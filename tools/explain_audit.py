@@ -951,7 +951,10 @@ def main() -> None:
             "(template text never transits the shuffle), join-free",
             "partial" in p.lower()
             and "Join" not in p
-            # the row entering the exchange carries tkey (md5), not text
+            # the row entering the exchange carries tkey (md5), not
+            # text; a plan with no Exchange at all (one-partition
+            # input / AQE rewrite) records FAIL, not an IndexError
+            and "Exchange" in p
             and "text" not in p.split("Exchange", 1)[1].splitlines()[0],
         )
     )

@@ -757,7 +757,11 @@ def upsert_windowed_counts(
     update-mode batches emit only changed groups, so overwriting a
     coarser partition (e.g. the window alone) would drop that
     window's unchanged sibling groups — partition granularity must
-    equal upsert granularity. Replaying a batch rewrites the same
+    equal upsert granularity. win_part is therefore the epoch
+    seconds of the window START (not a formatted date prefix): it is
+    exact at ANY ``window`` granularity, so a '15 minutes' window
+    can never share a partition with — and silently overwrite — a
+    sibling window from the same hour. Replaying a batch rewrites the same
     partitions with the same rows, so the sink is idempotent under
     retries; availableNow + checkpoint resume the stream across
     drains and the table always equals the batch aggregate of
@@ -769,7 +773,7 @@ def upsert_windowed_counts(
         .agg(F.count("*").alias("n_turns"))
         .select(
             F.col("win.start").alias("win_start"),
-            F.date_format(F.col("win.start"), "yyyyMMddHH").alias("win_part"),
+            F.unix_timestamp(F.col("win.start")).alias("win_part"),
             "role",
             "n_turns",
         )

@@ -474,7 +474,12 @@ def loss_mask(turns: DataFrame) -> DataFrame:
         "role",
         start.cast("long").alias("start_tok"),
         (start + F.col("toks")).cast("long").alias("end_tok"),
-        (F.col("role") != F.lit("assistant")).alias("masked"),
+        # coalesce: a NULL role (possible on real deliveries, e.g. the
+        # jsonl: arm) must mask deterministically, not yield a null
+        # boolean that downstream pandas folds would read as False
+        (F.coalesce(F.col("role"), F.lit("")) != F.lit("assistant")).alias(
+            "masked"
+        ),
     )
 
 
@@ -567,7 +572,12 @@ def window_assignments(turns: DataFrame, budget: int = CONTEXT_BUDGET) -> DataFr
             "conv_id",
             "turn_idx",
             toks.alias("toks"),
-            (F.col("role") != F.lit("assistant")).alias("masked"),
+            # same NULL-role coalesce as loss_mask: bool(None) is
+            # False in the fold, which would silently treat a
+            # null-role turn as loss-carrying
+            (F.coalesce(F.col("role"), F.lit("")) != F.lit("assistant")).alias(
+                "masked"
+            ),
         )
         .repartition("conv_id")
         .sortWithinPartitions("conv_id", "turn_idx")
