@@ -2,9 +2,12 @@
 
 Runs the headline extraction job plus representative registry queries
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec",
- "queries": {name: sec}, "sf": ..., "extract": {...}}.
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is a compact headline
+JSON {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"host_probe_mbps": ..., "extract": ..., "parity": ..., "queries":
+{kernel rows only}} sized to survive the driver's ~2,000-char tail
+truncation; the full per-query timing map is printed on the
+penultimate line and written to BENCH/last_queries.json.
 
 Transcripts for the extraction headline are generated deterministically
 (seeded, sized by sf) and cached as parquet in /tmp so repeated runs
@@ -305,6 +308,14 @@ def main() -> None:
     st_mod.window_supervision(tr).agg(F.count("*")).collect()
     timings["window_supervision"] = round(time.monotonic() - t0, 3)
 
+    # Materialize the near-dup cluster labels ONCE (the 100-TB
+    # composition: CC solved per corpus snapshot, persisted, consumed
+    # by every downstream reader). Timed as its own row so nothing is
+    # hidden; dedup_keep_list below then measures election cost only.
+    t0 = time.monotonic()
+    queries.dedup_cluster_labels(spark, SF_DIR).count()
+    timings["dedup_labels_mat"] = round(time.monotonic() - t0, 3)
+
     for name in BENCH_QUERIES:
         fn = queries.QUERIES[name]
         t0 = time.monotonic()
@@ -314,38 +325,63 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     probe_end = host_probe(CPUS)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "cpus": CPUS,
-                "host_probe_mbps": {"start": probe_start, "end": probe_end},
-                "queries": timings,
-                "html": {
-                    "pages": n_pages,
-                    "sec": round(t_html, 3),
-                    "pages_per_sec": round(n_pages / t_html, 1),
-                },
-                "pdf": {
-                    "pages": n_pdfs,
-                    "sec": round(t_pdf, 3),
-                    "pages_per_sec": round(n_pdfs / t_pdf, 1),
-                },
-                "extract": {
-                    "turns": n_turns,
-                    "spans": int(agg["spans"]),
-                    "sec": round(t_extract, 3),
-                    "turns_per_sec": round(n_turns / t_extract, 1),
-                    "cold_sec": round(t_cold, 3),
-                    "cold_turns_per_sec": round(n_turns / t_cold, 1),
-                },
-                "parity": parity_block,
-            }
+    headline = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": CPUS,
+        "host_probe_mbps": {"start": probe_start, "end": probe_end},
+        "html": {
+            "pages": n_pages,
+            "sec": round(t_html, 3),
+            "pages_per_sec": round(n_pages / t_html, 1),
+        },
+        "pdf": {
+            "pages": n_pdfs,
+            "sec": round(t_pdf, 3),
+            "pages_per_sec": round(n_pdfs / t_pdf, 1),
+        },
+        "extract": {
+            "turns": n_turns,
+            "spans": int(agg["spans"]),
+            "sec": round(t_extract, 3),
+            "turns_per_sec": round(n_turns / t_extract, 1),
+            "cold_sec": round(t_cold, 3),
+            "cold_turns_per_sec": round(n_turns / t_cold, 1),
+        },
+        "parity": parity_block,
+    }
+    # The driver's BENCH_r{N}.json artifact keeps only the TAIL of
+    # stdout (~2,000 chars); r4's single fat line lost its head
+    # (metric/value/probe) to that truncation and parsed as null. So:
+    # the full per-query map goes to a file, stdout carries the
+    # per-query map FIRST (human/log context, sacrificial under
+    # truncation) and the compact headline object as the very last
+    # line, where tail-truncation can never cut it.
+    full = dict(headline)
+    full["queries"] = timings
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_queries.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps({"n_queries": len(timings), "queries": timings}))
+    headline["queries"] = {
+        k: timings[k]
+        for k in (
+            "extract_fused",
+            "extract_fused_cold",
+            "html_extract",
+            "pdf_extract",
+            "parity_sweep",
+            "conv_windows",
+            "window_supervision",
         )
-    )
+        if k in timings
+    }
+    headline["queries_n"] = len(timings)
+    headline["queries_file"] = "BENCH/last_queries.json"
+    print(json.dumps(headline))
     spark.stop()
 
 
