@@ -766,7 +766,13 @@ def lang_id_heuristic(spark, sf_dir):
 )
 def minhash_bands(spark, sf_dir):
     """MinHash+LSH banding: 5-char shingles → 2 md5 'permutations' →
-    band key → bucket sizes (near-dup candidate generation)."""
+    band key → bucket sizes (near-dup candidate generation).
+    DIDACTIC BASELINE, kept deliberately: the 2-permutation/1-band
+    form exists to make the banding mechanics oracle-checkable in
+    isolation; the production path is the 128-perm/32x4 family
+    (minhash128_pairs / minhash128_full_pairs / conv-level dedup in
+    xtract/minhash.py). Driver-green in r01, r02 and r03; holds no
+    permanent sample slot and cycles with the r6+ rotation."""
     d = t(spark, sf_dir, "documents")
     n = F.length("text")
     sh = F.transform(
