@@ -159,7 +159,9 @@ def main(argv: list[str] | None = None) -> int:
     # depends only on args, so it runs BEFORE the input dispatch: a
     # usage error must never leave a partial side effect (the jsonl
     # arm's --quarantine sink writes during dispatch)
-    if args.checkpoint and catalog.is_table_ref(args.output):
+    if args.checkpoint and (
+        catalog.is_table_ref(args.output) or catalog.is_btable_ref(args.output)
+    ):
         ap.error(
             "--checkpoint uses parquet dynamic-partition-overwrite; "
             "give --output a parquet path (the lineage sidecar itself "

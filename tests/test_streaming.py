@@ -818,13 +818,15 @@ def test_upsert_windowed_counts_incremental(spark, tmp_path):
         )
 
     def expected():
+        # floor to epoch-hour multiples — F.window(ts, '1 hour')
+        # aligns to the epoch, NOT to local-tz hour boundaries, so
+        # date_trunc('hour') would diverge on a half-hour-offset host
         return sorted(
             (r.wp, r.role, r.n)
             for r in spark.read.parquet(src)
             .groupBy(
-                F.unix_timestamp(
-                    F.date_trunc("hour", "ts")
-                ).cast("string").alias("wp"),
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+                .cast("string").alias("wp"),
                 "role",
             )
             .agg(F.count("*").alias("n"))
@@ -832,9 +834,11 @@ def test_upsert_windowed_counts_incremental(spark, tmp_path):
         )
 
     def epoch_str(hour, minute=0):
-        return str(
-            int(dt.datetime(2026, 1, 1, hour, minute, 0).timestamp())
-        )
+        # same epoch-hour floor: naive .timestamp() converts via the
+        # host tz; only the floored value matches the window start on
+        # hosts whose UTC offset is not a whole hour
+        e = int(dt.datetime(2026, 1, 1, hour, minute, 0).timestamp())
+        return str(e // 3600 * 3600)
 
     # drain 1: hour-10 user turns + hour-11 assistant turn
     deliver([("user", 0), ("user", 30), ("assistant", 70)])
